@@ -1,0 +1,14 @@
+"""roborts_slam_tpu — a TPU-native 2D LiDAR SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design with the full capability surface of
+the reference RoboRTS-Edu-SLAM C++/ROS package: correlative scan matching
+(Olson 2009), Gauss-Newton scan refinement, occupancy-grid map pyramid,
+Karto-style pose-graph construction with loop closure, and SPA pose-graph
+optimization — re-architected as pure-function pipelines over fixed-shape
+arrays, batched/sharded across TPU device meshes.
+"""
+
+from .config import SlamConfig, load_config
+
+__version__ = "0.1.0"
+__all__ = ["SlamConfig", "load_config"]
