@@ -1,0 +1,225 @@
+"""Pose-graph construction + Karto-style loop closure (host-side logic).
+
+TPU-native replacement for ``RangeScanPoseGraph`` / ``PoseGraph``
+(src/pose_graph/{pose_graph.h, range_scan_pose_graph.{h,cpp}}). The graph
+bookkeeping (ids, adjacency, chains) is irregular and tiny — it stays in
+Python/NumPy, exactly the host/device split SURVEY §7 prescribes — while
+every heavy step (chain-map rebuild + matching, the SPA solve, batched
+barycenter distance queries) runs on device.
+
+Chain semantics replicated from the reference:
+- ``find_near_linked_scans``: BFS over graph edges keeping scans whose
+  barycenter is within link_scan_max_distance (range_scan_pose_graph.cpp:272-297).
+- ``find_near_chains``: expand each near scan into a contiguous-id chain,
+  invalid if it touches the current scan (:207-270).
+- sparsify chains to <= 10 ids by stride 2 (:130-144).
+- ``find_possible_loop_closure``: linear scan over all older scans for
+  nearby chains not graph-linked to the current scan (:357-392).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..utils.geometry import pose_relative
+
+
+@dataclasses.dataclass
+class GraphEdge:
+    source: int
+    target: int
+    rel_pose: np.ndarray       # (3,) relative pose of target in source frame
+    information: np.ndarray    # (3,3)
+
+
+class PoseGraph:
+    """Undirected scan graph over scan ids (= vertex ids, append-only)."""
+
+    def __init__(self, link_scan_max_distance: float,
+                 loop_match_min_chain_size: int):
+        self.link_scan_max_distance = link_scan_max_distance
+        self.loop_match_min_chain_size = loop_match_min_chain_size
+        self.adjacency: list[set] = []
+        self.edges: list[GraphEdge] = []
+        self._edge_set: set = set()
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.adjacency)
+
+    def add_vertex(self) -> int:
+        self.adjacency.append(set())
+        return len(self.adjacency) - 1
+
+    def has_edge(self, i: int, j: int) -> bool:
+        return (min(i, j), max(i, j)) in self._edge_set
+
+    def add_edge(self, source: int, target: int, source_pose, target_pose,
+                 covariance) -> bool:
+        """Add a constraint if absent (AddEdge, range_scan_pose_graph.cpp:80-100).
+        Link info per EdgeLinkInfo (pose_graph.h:88-107): relative pose via
+        the mid-frame transform; covariance rotated into the source frame and
+        inverted into an information matrix
+        (ceres_pose_graph_solver.cpp:144-176)."""
+        key = (min(source, target), max(source, target))
+        if key in self._edge_set:
+            return False
+        rel = np.asarray(pose_relative(np.asarray(source_pose, np.float64),
+                                       np.asarray(target_pose, np.float64)))
+        th = float(source_pose[2])
+        c, s = np.cos(-th), np.sin(-th)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        cov = rot @ np.asarray(covariance, np.float64) @ rot.T
+        info = np.linalg.inv(cov + 1e-12 * np.eye(3))
+        self.edges.append(GraphEdge(source, target, rel, info))
+        self._edge_set.add(key)
+        self.adjacency[source].add(target)
+        self.adjacency[target].add(source)
+        return True
+
+    # ---- traversal / chain discovery (all NumPy over barycenters) ----
+
+    def find_near_linked_scans(self, scan_id: int, barycenters: np.ndarray
+                               ) -> list[int]:
+        """BFS keeping vertices within link_scan_max_distance of scan_id's
+        barycenter (FindNearLinkedScans + NearScanVisitor,
+        range_scan_pose_graph.cpp:272-297)."""
+        center = barycenters[scan_id, :2]
+        max_d2 = self.link_scan_max_distance**2
+        visited = {scan_id}
+        out = []
+        queue = [scan_id]
+        while queue:
+            v = queue.pop(0)
+            d2 = float(np.sum((barycenters[v, :2] - center) ** 2))
+            if d2 <= max_d2:
+                out.append(v)
+                for nb in self.adjacency[v]:
+                    if nb not in visited:
+                        visited.add(nb)
+                        queue.append(nb)
+        return out
+
+    def find_near_chains(self, scan_id: int, barycenters: np.ndarray
+                         ) -> list[list[int]]:
+        """FindNearChainsIds (range_scan_pose_graph.cpp:207-270)."""
+        center = barycenters[scan_id, :2]
+        max_d2 = self.link_scan_max_distance**2
+        near = self.find_near_linked_scans(scan_id, barycenters)
+        processed = set()
+        chains = []
+        n = self.num_vertices
+        for near_id in near:
+            if near_id == scan_id or near_id in processed:
+                continue
+            processed.add(near_id)
+            valid = True
+            chain = []
+            for cand in range(near_id - 1, -1, -1):
+                if cand == scan_id:
+                    valid = False
+                d2 = float(np.sum((barycenters[cand, :2] - center) ** 2))
+                if d2 < max_d2:
+                    chain.insert(0, cand)
+                    processed.add(cand)
+                else:
+                    break
+            chain.append(near_id)
+            for cand in range(near_id + 1, n):
+                if cand == scan_id:
+                    valid = False
+                d2 = float(np.sum((barycenters[cand, :2] - center) ** 2))
+                if d2 < max_d2:
+                    chain.append(cand)
+                    processed.add(cand)
+                else:
+                    break
+            if valid:
+                chains.append(chain)
+        return chains
+
+    @staticmethod
+    def sparsify_chain(chain: list[int], limit: int = 10) -> list[int]:
+        """Stride-2 sparsification to <= limit+1 ids
+        (range_scan_pose_graph.cpp:130-144)."""
+        if len(chain) <= limit:
+            return list(chain)
+        out = []
+        for i, cid in enumerate(chain):
+            if i % 2 == 0:
+                out.append(cid)
+            if len(out) > limit:
+                break
+        return out
+
+    def find_possible_loop_closure(self, scan_id: int, barycenters: np.ndarray,
+                                   start_id: int) -> tuple[list[int], int]:
+        """FindPossibleLoopClosure (range_scan_pose_graph.cpp:357-392):
+        returns (chain, next_start_id)."""
+        center = barycenters[scan_id, :2]
+        max_d2 = self.link_scan_max_distance**2
+        near_linked = set(self.find_near_linked_scans(scan_id, barycenters))
+        chain: list[int] = []
+        n = scan_id  # scans_num = current_data_index (scans before current)
+        cand = start_id
+        while cand < n:
+            d2 = float(np.sum((barycenters[cand, :2] - center) ** 2))
+            if d2 < max_d2:
+                if cand in near_linked:
+                    chain = []
+                else:
+                    chain.append(cand)
+            else:
+                if len(chain) >= self.loop_match_min_chain_size:
+                    return chain, cand + 1
+                chain = []
+            cand += 1
+        return (chain if len(chain) >= self.loop_match_min_chain_size else []), cand
+
+    @staticmethod
+    def find_closest_scan_id(chain: list[int], scan_id: int,
+                             barycenters: np.ndarray) -> int:
+        """FindClosestRangeScanId (range_scan_pose_graph.cpp:192-205)."""
+        c = barycenters[scan_id, :2]
+        ids = np.asarray(chain)
+        d2 = np.sum((barycenters[ids, :2] - c[None]) ** 2, axis=1)
+        return int(ids[np.argmin(d2)])
+
+    def as_solver_data(self, poses: np.ndarray, pad_n: int | None = None,
+                       pad_e: int | None = None):
+        """Pack graph into padded PoseGraphData for the SPA solver."""
+        import jax.numpy as jnp
+
+        from .spa import PoseGraphData
+
+        n = self.num_vertices
+        e = len(self.edges)
+
+        def bucket(x):
+            b = 64
+            while b < x:
+                b *= 2
+            return b
+
+        pn = pad_n or bucket(n)
+        pe = pad_e or bucket(max(e, 1))
+        p = np.zeros((pn, 3), np.float32)
+        p[:n] = poses[:n]
+        nm = np.zeros(pn, bool)
+        nm[:n] = True
+        eij = np.zeros((pe, 2), np.int32)
+        erel = np.zeros((pe, 3), np.float32)
+        einfo = np.tile(np.eye(3, dtype=np.float32), (pe, 1, 1))
+        em = np.zeros(pe, bool)
+        for k, edge in enumerate(self.edges):
+            eij[k] = (edge.source, edge.target)
+            erel[k] = edge.rel_pose
+            einfo[k] = edge.information
+            em[k] = True
+        return PoseGraphData(
+            poses=jnp.asarray(p), node_mask=jnp.asarray(nm),
+            edge_ij=jnp.asarray(eij), edge_rel=jnp.asarray(erel),
+            edge_info=jnp.asarray(einfo), edge_mask=jnp.asarray(em),
+        )

@@ -1,0 +1,242 @@
+"""Back-end orchestration: graph update, chain matching, loop closure.
+
+TPU-native replacement for the back-end half of ``SlamProcessor`` +
+``RangeScanPoseGraph`` (slam_processor.cpp:250-426,
+range_scan_pose_graph.cpp:44-355). The reference's back-end thread +
+condvar handoff becomes an explicit ``process_pending()`` the engine calls
+(synchronously by default — deterministic and testable; an async wrapper
+mirrors the reference's pipeline parallelism).
+
+Heavy pieces run on device through two jitted entry points:
+- ``chain_match``: rebuild back-end coarse+fine maps from a (padded) chain
+  of scans and run the full 3-tier match of the current scan against them —
+  the reference's ScanMatchInterface (slam_processor.cpp:250-326) as one
+  fused dispatch; vmappable over chains.
+- ``solve_pose_graph``: the SPA solve (backend/spa.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..models.grid_map import (
+    CountMap, CountMapSpec, ProbMap, ProbMapSpec, backend_map_specs,
+    make_prob_map,
+)
+from ..frontend.matchers import MatcherParams, scan_match
+from ..ops.raster import stamp_scan_batch
+from ..ops.raycast import map_feedback_penalty
+from .pose_graph import PoseGraph
+from .spa import solve_pose_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendSpec:
+    config: SlamConfig
+    coarse_spec: ProbMapSpec
+    fine_spec: ProbMapSpec
+    pub_spec: CountMapSpec
+    matcher: MatcherParams
+    max_chain_scans: int
+
+    @staticmethod
+    def from_config(config: SlamConfig, laser_range_max: float,
+                    pub_spec: CountMapSpec) -> "BackendSpec":
+        coarse, fine = backend_map_specs(config, laser_range_max)
+        return BackendSpec(
+            config=config, coarse_spec=coarse, fine_spec=fine,
+            pub_spec=pub_spec,
+            # all back-end calls use the front-end matcher params
+            # (LinkNearChains/TryCloseLoop pass use_front_end=true,
+            # range_scan_pose_graph.cpp:153, :312-318, :329)
+            matcher=MatcherParams.from_config(config),
+            max_chain_scans=config.max_chain_scans,
+        )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def chain_match(spec: BackendSpec,
+                chain_points, chain_masks, chain_poses, chain_valid,
+                points, mask, n_valid, init_pose, center_pose,
+                pub_hits, pub_passes, pub_offset):
+    """ScanMatchInterface (slam_processor.cpp:250-326) as one device call:
+    back-end maps recentered on ``center_pose``
+    (ResetScanMatchMapWithRangeVec :448-462), rebuilt from the chain in one
+    batched stamp, 3-tier match, then the logistic pub-map penalty (:313-317).
+    """
+    cfg = spec.config
+
+    def recentered(pspec: ProbMapSpec):
+        size_x = pspec.width * pspec.resolution
+        size_y = pspec.height * pspec.resolution
+        off = jnp.stack([-(center_pose[0] - 0.5 * size_x),
+                         -(center_pose[1] - 0.5 * size_y)])
+        return make_prob_map(pspec, off)
+
+    coarse = recentered(spec.coarse_spec)
+    fine = recentered(spec.fine_spec)
+    coarse = stamp_scan_batch(spec.coarse_spec, coarse, chain_points,
+                              chain_masks, chain_poses, chain_valid,
+                              use_blur=cfg.coarse_map_use_blur)
+    fine = stamp_scan_batch(spec.fine_spec, fine, chain_points,
+                            chain_masks, chain_poses, chain_valid,
+                            use_blur=cfg.fine_map_use_blur)
+
+    out = scan_match(
+        spec.matcher,
+        spec.fine_spec, fine.probs, fine.offset,
+        spec.coarse_spec, coarse.probs, coarse.offset,
+        points, mask, n_valid, init_pose,
+    )
+
+    if cfg.use_map_check_feedback:
+        pub = CountMap(hits=pub_hits, passes=pub_passes, offset=pub_offset)
+        penalty = map_feedback_penalty(
+            spec.pub_spec, pub, points, mask, n_valid, out.pose,
+            cfg.map_check_point_num, cfg.map_check_bound_tolerance,
+            cfg.map_check_penalty_gain,
+            min_passthrough=jnp.float32(cfg.map_min_passthrough),
+            occu_threshold=jnp.float32(cfg.map_occu_threshold),
+        )
+        # logistic squashing for the back end (slam_processor.cpp:589-591)
+        penalty = 1.0 / (1.0 + jnp.exp(-10.0 * (penalty - 0.4)))
+        score = jnp.minimum(out.score * penalty, 1.0)
+    else:
+        score = out.score
+    return out.pose, score, out.cov
+
+
+class Backend:
+    """Owns the pose graph; pulls scan data from the engine's store."""
+
+    def __init__(self, spec: BackendSpec, store):
+        self.spec = spec
+        self.store = store              # engine ScanStore (duck-typed)
+        cfg = spec.config
+        self.graph = PoseGraph(cfg.link_scan_max_distance,
+                               cfg.loop_match_min_chain_size)
+        self.on_corrections: Callable | None = None   # set by engine
+        self.num_loop_closures = 0
+        self.num_links = 0
+
+    # ---- device-call helpers ----
+
+    def _match_against_chain(self, chain_ids: list[int], scan_id: int,
+                             init_pose: np.ndarray):
+        st = self.store
+        K = self.spec.max_chain_scans
+        ids = chain_ids[:K]
+        pts, msk, poses, valid = st.gather_chain(ids, K)
+        center = st.poses[scan_id]
+        pub = st.pub_map_arrays()
+        pose, score, cov = chain_match(
+            self.spec, pts, msk, poses, valid,
+            *st.scan_arrays(scan_id),
+            jnp.asarray(init_pose, jnp.float32),
+            jnp.asarray(center, jnp.float32),
+            *pub,
+        )
+        return (np.asarray(pose, np.float64), float(score),
+                np.asarray(cov, np.float64))
+
+    # ---- graph construction (UpdateGraph, range_scan_pose_graph.cpp:44-78) ----
+
+    def update_graph(self, scan_id: int, covariance: np.ndarray):
+        vid = self.graph.add_vertex()
+        assert vid == scan_id, (vid, scan_id)
+        if scan_id > 0:
+            self._link_scans(scan_id - 1, scan_id,
+                             self.store.poses[scan_id], covariance)
+            self._link_near_chains(scan_id)
+
+    def _link_scans(self, source: int, target: int, mean: np.ndarray,
+                    covariance: np.ndarray):
+        """LinkScans (range_scan_pose_graph.cpp:102-118): edge from the
+        source scan's pose to ``mean`` with the given covariance."""
+        if self.graph.add_edge(source, target, self.store.poses[source],
+                               mean, covariance):
+            self.num_links += 1
+
+    def _link_near_chains(self, scan_id: int):
+        """LinkNearChains (range_scan_pose_graph.cpp:120-167)."""
+        cfg = self.spec.config
+        bary = self.store.barycenters()
+        chains = self.graph.find_near_chains(scan_id, bary)
+        for chain in chains:
+            if len(chain) < cfg.loop_match_min_chain_size:
+                continue
+            sparse = PoseGraph.sparsify_chain(chain)
+            init = self.store.poses[scan_id].copy()
+            pose, response, cov = self._match_against_chain(sparse, scan_id, init)
+            if not np.all(np.isfinite(cov)):
+                continue
+            if response > cfg.link_match_min_response:
+                self._link_chain_to_scan(chain, scan_id, pose, cov)
+
+    def _link_chain_to_scan(self, chain: list[int], scan_id: int,
+                            mean: np.ndarray, covariance: np.ndarray) -> int:
+        """LinkChainToScan (range_scan_pose_graph.cpp:169-190)."""
+        bary = self.store.barycenters()
+        closest = PoseGraph.find_closest_scan_id(chain, scan_id, bary)
+        d2 = float(np.sum((bary[scan_id, :2] - bary[closest, :2]) ** 2))
+        if d2 < self.spec.config.link_scan_max_distance**2:
+            self._link_scans(closest, scan_id, mean, covariance)
+        return closest
+
+    # ---- loop closure (TryCloseLoop, range_scan_pose_graph.cpp:299-355) ----
+
+    def try_close_loop(self, scan_id: int) -> bool:
+        cfg = self.spec.config
+        closed = False
+        start_id = 0
+        bary = self.store.barycenters()
+        chain, start_id = self.graph.find_possible_loop_closure(
+            scan_id, bary, start_id)
+        while chain:
+            best_pose = self.store.poses[scan_id].copy()
+            pose, coarse_resp, cov = self._match_against_chain(
+                chain, scan_id, best_pose)
+            ok = (coarse_resp > cfg.loop_match_min_response_coarse
+                  and cov[0, 0] < cfg.loop_match_max_variance_coarse
+                  and cov[1, 1] < cfg.loop_match_max_variance_coarse)
+            if ok:
+                fine_pose, fine_resp, fine_cov = self._match_against_chain(
+                    chain, scan_id, pose)
+                if fine_resp >= cfg.loop_match_min_response_fine:
+                    # accept: move the scan, link, solve, correct
+                    self.store.set_pose(scan_id, fine_pose)
+                    self._link_chain_to_scan(chain, scan_id, fine_pose, fine_cov)
+                    self._solve_and_correct()
+                    closed = True
+                    self.num_loop_closures += 1
+                    bary = self.store.barycenters()
+            chain, start_id = self.graph.find_possible_loop_closure(
+                scan_id, bary, start_id)
+        return closed
+
+    def force_optimize(self):
+        """ForceComputeByCeres equivalent (range_scan_pose_graph.cpp:400-407)."""
+        if self.graph.num_vertices > 1:
+            self._solve_and_correct()
+
+    def _solve_and_correct(self):
+        data = self.graph.as_solver_data(self.store.poses_array())
+        poses, cost, iters = solve_pose_graph(data)
+        corrected = np.asarray(poses, np.float64)[: self.graph.num_vertices]
+        if self.on_corrections is not None:
+            self.on_corrections(corrected)
+
+    def graph_info(self):
+        """GetGraphInfo equivalent: (node xy array, edge endpoint pairs)."""
+        poses = self.store.poses_array()
+        nodes = poses[: self.graph.num_vertices, :2]
+        edges = [(poses[e.source, :2], poses[e.target, :2])
+                 for e in self.graph.edges]
+        return nodes, edges

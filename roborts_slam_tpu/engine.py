@@ -1,0 +1,284 @@
+"""SlamEngine — the top-level online SLAM driver.
+
+TPU-native replacement for ``SlamNode`` + ``SlamProcessor`` orchestration
+(src/roborts_slam_node.cpp, src/slam/slam_processor.cpp): consumes an
+offline scan log (or live feed) scan by scan, runs the jitted front-end
+step, maintains the scan store (the reference's SensorDataManager), and
+drives the back-end (pose graph + loop closure) either synchronously or on
+a worker thread (the reference's pipeline parallelism,
+slam_processor.cpp:384-426).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SlamConfig
+from .backend.processor import Backend, BackendSpec
+from .frontend.processor import (
+    FrontendSpec, FrontendState, frontend_step, init_frontend_state,
+)
+from .models.scan import LaserModel, scan_from_ranges
+from .ops.raster import rebuild_count_map, stamp_scan_batch
+from .models.grid_map import CountMap, ProbMap, count_map_states
+
+
+class ScanStore:
+    """Append-only store of accepted scans (SensorDataManager,
+    src/slam/sensor_data_manager.h:349-595). One copy per scan in sensor-local
+    meters — the reference's per-resolution scaled copies (:576-579) are
+    replaced by on-the-fly scaling inside the kernels."""
+
+    def __init__(self, max_points: int):
+        self.max_points = max_points
+        self._points: list[np.ndarray] = []
+        self._masks: list[np.ndarray] = []
+        self._n_valid: list[int] = []
+        self._centroids: list[np.ndarray] = []   # local-frame point centroid
+        self.poses: list[np.ndarray] = []        # world poses (mutable on correction)
+        self.odoms: list[np.ndarray] = []
+        self.times: list[float] = []
+        self._pub_arrays = None                  # set by engine each frontend step
+
+    def __len__(self):
+        return len(self._points)
+
+    def add(self, points: np.ndarray, mask: np.ndarray, n_valid: int,
+            pose: np.ndarray, odom: np.ndarray, t: float) -> int:
+        self._points.append(points)
+        self._masks.append(mask)
+        self._n_valid.append(int(n_valid))
+        w = mask.astype(np.float64)
+        denom = max(w.sum(), 1.0)
+        self._centroids.append((points * w[:, None]).sum(0) / denom)
+        self.poses.append(np.asarray(pose, np.float64).copy())
+        self.odoms.append(np.asarray(odom, np.float64).copy())
+        self.times.append(float(t))
+        return len(self._points) - 1
+
+    def set_pose(self, scan_id: int, pose: np.ndarray):
+        self.poses[scan_id] = np.asarray(pose, np.float64).copy()
+
+    def poses_array(self) -> np.ndarray:
+        return np.asarray(self.poses)
+
+    def barycenters(self) -> np.ndarray:
+        """World barycenter pose per scan (UpdateBarycenterPose,
+        sensor_data_manager.h:214-238): pose ⊕ local centroid, keeping yaw."""
+        poses = self.poses_array()
+        cent = np.asarray(self._centroids)
+        c, s = np.cos(poses[:, 2]), np.sin(poses[:, 2])
+        bx = poses[:, 0] + c * cent[:, 0] - s * cent[:, 1]
+        by = poses[:, 1] + s * cent[:, 0] + c * cent[:, 1]
+        return np.stack([bx, by, poses[:, 2]], -1)
+
+    def scan_arrays(self, scan_id: int):
+        return (jnp.asarray(self._points[scan_id]),
+                jnp.asarray(self._masks[scan_id]),
+                jnp.int32(self._n_valid[scan_id]))
+
+    def gather_chain(self, ids: list[int], pad_k: int):
+        pts = np.zeros((pad_k, self.max_points, 2), np.float32)
+        msk = np.zeros((pad_k, self.max_points), bool)
+        poses = np.zeros((pad_k, 3), np.float32)
+        valid = np.zeros(pad_k, bool)
+        for i, sid in enumerate(ids[:pad_k]):
+            pts[i] = self._points[sid]
+            msk[i] = self._masks[sid]
+            poses[i] = self.poses[sid]
+            valid[i] = True
+        return (jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(poses),
+                jnp.asarray(valid))
+
+    def all_arrays(self):
+        n = len(self)
+        pts = np.stack(self._points) if n else np.zeros((0, self.max_points, 2), np.float32)
+        msk = np.stack(self._masks) if n else np.zeros((0, self.max_points), bool)
+        poses = self.poses_array().astype(np.float32)
+        return jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(poses)
+
+    def pub_map_arrays(self):
+        return self._pub_arrays
+
+
+@dataclasses.dataclass
+class EngineDiagnostics:
+    scans_in: int = 0
+    scans_processed: int = 0
+    scans_dropped_gate: int = 0
+    scans_dropped_move: int = 0
+    loop_closures: int = 0
+    match_time_s: float = 0.0
+    backend_time_s: float = 0.0
+
+
+class SlamEngine:
+    """Online SLAM over a scan stream."""
+
+    def __init__(self, config: SlamConfig, laser: LaserModel,
+                 world_size: float | None = None,
+                 synchronous_backend: bool = True):
+        self.config = config
+        self.laser = laser
+        self.fspec = FrontendSpec.from_config(config, laser.range_max, world_size)
+        self.bspec = BackendSpec.from_config(config, laser.range_max,
+                                             self.fspec.pub_spec)
+        self.state: FrontendState = init_frontend_state(self.fspec)
+        self.store = ScanStore(config.max_points)
+        self.backend = Backend(self.bspec, self.store)
+        self.backend.on_corrections = self._apply_corrections
+        self.synchronous_backend = synchronous_backend
+        self.diag = EngineDiagnostics()
+        self.trajectory: list[tuple[float, np.ndarray]] = []  # (t, pose) per processed scan
+        self._last_kept_odom: np.ndarray | None = None
+        self._last_process_time: float | None = None
+        self._step = jax.jit(frontend_step, static_argnames=("spec",),
+                             donate_argnums=(1,))
+        self._pending_backend: list[tuple[int, np.ndarray]] = []
+
+    # ---- gates (MoveEnough, slam_processor.cpp:604-616) ----
+
+    def _move_enough(self, odom: np.ndarray, t: float) -> bool:
+        cfg = self.config
+        if not cfg.use_odometry or not cfg.use_move_check:
+            return True
+        if self._last_kept_odom is None:
+            return True
+        if (self._last_process_time is not None
+                and t - self._last_process_time > cfg.move_time_threshold):
+            return True
+        d = odom[:2] - self._last_kept_odom[:2]
+        if np.hypot(d[0], d[1]) >= cfg.move_distance_threshold:
+            return True
+        dth = np.arctan2(np.sin(odom[2] - self._last_kept_odom[2]),
+                         np.cos(odom[2] - self._last_kept_odom[2]))
+        return abs(dth) >= cfg.move_angle_threshold
+
+    # ---- main entry ----
+
+    def process(self, ranges: np.ndarray, odom: np.ndarray, t: float) -> bool:
+        """Feed one scan; returns True if it was accepted into the map."""
+        self.diag.scans_in += 1
+        if not self._move_enough(odom, t):
+            self.diag.scans_dropped_move += 1
+            return False
+        self._last_process_time = t
+
+        scan = scan_from_ranges(ranges, self.laser, odom, t,
+                                self.config.max_points)
+        n_valid = int(np.sum(np.asarray(scan.mask)))
+        last_odom = (self._last_kept_odom if self._last_kept_odom is not None
+                     else odom)
+
+        t0 = _time.perf_counter()
+        self.state, info = self._step(
+            self.fspec, self.state, scan.points, scan.mask,
+            jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
+            jnp.asarray(odom, jnp.float32))
+        accepted = bool(info.map_updated)
+        pose = np.asarray(info.pose, np.float64)
+        self.diag.match_time_s += _time.perf_counter() - t0
+
+        if not accepted:
+            self.diag.scans_dropped_gate += 1
+            return False
+
+        self.diag.scans_processed += 1
+        self._last_kept_odom = np.asarray(odom, np.float64).copy()
+        scan_id = self.store.add(np.asarray(scan.points), np.asarray(scan.mask),
+                                 n_valid, pose, odom, t)
+        self.trajectory.append((t, pose))
+        self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
+                                  self.state.pub.offset)
+
+        cov = np.asarray(info.cov, np.float64)
+        self._pending_backend.append((scan_id, cov))
+        if self.synchronous_backend:
+            self.process_backend()
+        return True
+
+    def process_backend(self):
+        """Drain the back-end buffer (BackEndProcessThread,
+        slam_processor.cpp:384-426): graph updates for every pending scan,
+        then one loop-closure attempt at the newest."""
+        if not self._pending_backend:
+            return
+        t0 = _time.perf_counter()
+        last_id = self._pending_backend[-1][0]
+        while self._pending_backend:
+            sid, cov = self._pending_backend.pop(0)
+            self.backend.update_graph(sid, cov)
+        self.backend.try_close_loop(last_id)
+        self.diag.loop_closures = self.backend.num_loop_closures
+        self.diag.backend_time_s += _time.perf_counter() - t0
+
+    # ---- corrections (CorrectPoseAndMap, slam_processor.cpp:329-370) ----
+
+    def _apply_corrections(self, corrected: np.ndarray):
+        for sid in range(corrected.shape[0]):
+            self.store.set_pose(sid, corrected[sid])
+        # keep uncorrected trailing scans' relative placement: none exist in
+        # synchronous mode (the newest scan is in the graph)
+        pts, msk, poses = self.store.all_arrays()
+        valid = jnp.ones(pts.shape[0], bool)
+        cfg = self.config
+        pub = rebuild_count_map(
+            self.fspec.pub_spec, self.state.pub.offset, pts, msk, poses, valid,
+            jnp.float32(cfg.map_update_free_factor),
+            jnp.float32(cfg.map_update_occu_factor),
+            first_scan_extra=int(cfg.map_min_passthrough),
+        )
+        coarse = stamp_scan_batch(
+            self.fspec.coarse_spec,
+            ProbMap(jnp.full_like(self.state.coarse.probs,
+                                  self.fspec.coarse_spec.default_prob),
+                    self.state.coarse.offset),
+            pts, msk, poses, valid, use_blur=cfg.coarse_map_use_blur)
+        fine = stamp_scan_batch(
+            self.fspec.fine_spec,
+            ProbMap(jnp.full_like(self.state.fine.probs,
+                                  self.fspec.fine_spec.default_prob),
+                    self.state.fine.offset),
+            pts, msk, poses, valid, use_blur=cfg.fine_map_use_blur)
+        # carry the corrected latest pose forward (deviation from the
+        # reference, which leaves current_sensor_pose_ stale across its
+        # async boundary; carrying the correction is strictly more robust)
+        new_pose = jnp.asarray(self.store.poses[-1], jnp.float32)
+        self.state = self.state._replace(
+            pub=pub, coarse=coarse, fine=fine, pose=new_pose,
+            last_map_update_pose=jnp.array(new_pose))
+        for i, (t, _) in enumerate(self.trajectory):
+            self.trajectory[i] = (t, self.store.poses[i].copy())
+        self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
+                                  self.state.pub.offset)
+
+    # ---- outputs ----
+
+    def run_log(self, log, progress: bool = False) -> np.ndarray:
+        """Replay a ScanLog; returns the estimated trajectory (N_kept, 4):
+        t, x, y, theta."""
+        for i in range(len(log)):
+            self.process(log.ranges[i], log.odom[i], float(log.times[i]))
+            if progress and i % 50 == 0:
+                print(f"  scan {i}/{len(log)} kept={len(self.store)} "
+                      f"loops={self.backend.num_loop_closures}")
+        return self.trajectory_array()
+
+    def trajectory_array(self) -> np.ndarray:
+        return np.array([[t, p[0], p[1], p[2]] for t, p in self.trajectory])
+
+    def get_pub_map(self) -> np.ndarray:
+        """Published occupancy grid: -1 unknown / 0 free / 100 occupied
+        (PublishMapThread, roborts_slam_node.cpp:427-469)."""
+        cfg = self.config
+        return np.asarray(count_map_states(self.state.pub,
+                                           cfg.map_min_passthrough,
+                                           cfg.map_occu_threshold))
+
+    def force_graph_optimize(self):
+        self.backend.force_optimize()

@@ -1,0 +1,179 @@
+"""Front-end SLAM step as one pure jitted function.
+
+TPU-native replacement for ``SlamProcessor::process``
+(src/slam/slam_processor.cpp:65-247). The reference's mutable maps + mutexes
+become an explicit immutable ``FrontendState`` pytree threaded through a
+single jitted step: predict → 3-tier match → map-consistency penalty →
+accept gate → map updates, with all data-dependent gates as ``where``/``cond``
+so one device dispatch handles a scan end to end. Buffer donation updates
+the map arrays in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..models.grid_map import CountMap, CountMapSpec, ProbMap, ProbMapSpec
+from ..ops.raster import stamp_scan, update_count_map
+from ..ops.raycast import map_feedback_penalty
+from ..utils.geometry import predict_pose_by_odom
+from .matchers import MatcherParams, scan_match
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendSpec:
+    config: SlamConfig
+    pub_spec: CountMapSpec
+    coarse_spec: ProbMapSpec
+    fine_spec: ProbMapSpec
+    matcher: MatcherParams
+
+    @staticmethod
+    def from_config(config: SlamConfig, laser_range_max: float,
+                    world_size: float | None = None) -> "FrontendSpec":
+        from ..models.grid_map import pub_map_spec, scan_match_map_specs
+
+        if world_size is None:
+            world_size = config.derived_world_size(laser_range_max)
+        coarse, fine = scan_match_map_specs(config, world_size)
+        return FrontendSpec(
+            config=config,
+            pub_spec=pub_map_spec(config, laser_range_max, world_size),
+            coarse_spec=coarse,
+            fine_spec=fine,
+            matcher=MatcherParams.from_config(config),
+        )
+
+    def world_size(self) -> float:
+        return self.pub_spec.height * self.pub_spec.resolution
+
+
+class FrontendState(NamedTuple):
+    pub: CountMap
+    coarse: ProbMap
+    fine: ProbMap
+    pose: jnp.ndarray                 # (3,) current sensor pose (world)
+    last_map_update_pose: jnp.ndarray  # (3,)
+    map_penalize_times: jnp.ndarray   # () int32
+    scan_index: jnp.ndarray           # () int32 = current_data_index
+
+
+class StepInfo(NamedTuple):
+    pose: jnp.ndarray         # (3,) pose assigned to this scan
+    score: jnp.ndarray        # () penalized scan-match score
+    cov: jnp.ndarray          # (3,3)
+    map_updated: jnp.ndarray  # () bool — scan kept (added to store + backend)
+    pose_accepted: jnp.ndarray  # () bool — pose gate passed
+
+
+def init_frontend_state(spec: FrontendSpec) -> FrontendState:
+    """Maps centered on the start pose, reference map-offset convention
+    (CreateAllMap, slam_processor.cpp:468-471: offset = init_map_size *
+    map_offset_{x,y}, i.e. world origin at the map center)."""
+    from ..models.grid_map import make_count_map, make_prob_map
+
+    ws = spec.world_size()
+    cfg = spec.config
+    # distinct offset buffers per map: buffer donation forbids aliased inputs
+    off = lambda: jnp.array([ws * cfg.map_offset_x, ws * cfg.map_offset_y],
+                            jnp.float32)
+    return FrontendState(
+        pub=make_count_map(spec.pub_spec, off()),
+        coarse=make_prob_map(spec.coarse_spec, off()),
+        fine=make_prob_map(spec.fine_spec, off()),
+        pose=jnp.zeros(3, jnp.float32),
+        last_map_update_pose=jnp.full((3,), 3.4e38, jnp.float32),
+        map_penalize_times=jnp.int32(0),
+        scan_index=jnp.int32(0),
+    )
+
+
+def frontend_step(spec: FrontendSpec, state: FrontendState,
+                  points, mask, n_valid, last_odom, cur_odom
+                  ) -> tuple[FrontendState, StepInfo]:
+    """One scan through the front end (slam_processor.cpp:65-247)."""
+    cfg = spec.config
+    is_first = state.scan_index == 0
+
+    # --- predict (slam_processor.cpp:122-126) ---
+    if cfg.use_odometry:
+        predict = predict_pose_by_odom(state.pose, last_odom, cur_odom)
+    else:
+        predict = state.pose
+
+    # --- scan match (:133-149) — skipped for the first scan (:120) ---
+    out = scan_match(
+        spec.matcher,
+        spec.fine_spec, state.fine.probs, state.fine.offset,
+        spec.coarse_spec, state.coarse.probs, state.coarse.offset,
+        points, mask, n_valid, predict,
+    )
+
+    # --- map-consistency penalty (:167-178, MapCheckPenalize :573-595) ---
+    if cfg.use_map_check_feedback:
+        penalty = map_feedback_penalty(
+            spec.pub_spec, state.pub, points, mask, n_valid, out.pose,
+            cfg.map_check_point_num, cfg.map_check_bound_tolerance,
+            cfg.map_check_penalty_gain,
+            min_passthrough=jnp.float32(cfg.map_min_passthrough),
+            occu_threshold=jnp.float32(cfg.map_occu_threshold),
+        )
+    else:
+        penalty = jnp.float32(1.0)
+
+    apply_pen = state.map_penalize_times < 5
+    score = jnp.where(apply_pen,
+                      jnp.minimum(out.score * penalty, 1.0), out.score)
+    pen_times = jnp.where(
+        apply_pen,
+        jnp.where(penalty < 0.7, state.map_penalize_times + 1, 0),
+        0,
+    )
+
+    # --- pose accept gate (:182-186) ---
+    accept = score > jnp.maximum(0.5, cfg.map_update_score_threshold)
+    pose = jnp.where(is_first, state.pose, jnp.where(accept, out.pose, state.pose))
+    score = jnp.where(is_first, jnp.float32(1.0), score)
+
+    # --- map update gate (UpdateMap, slam_processor.cpp:529-571) ---
+    from ..utils.geometry import pose_change_enough
+
+    moved = pose_change_enough(pose, state.last_map_update_pose,
+                               cfg.map_update_distance_threshold,
+                               cfg.map_update_angle_threshold)
+    gate = (score > cfg.map_update_score_threshold) & (
+        moved | (not cfg.use_map_update_move_check)
+    )
+    gate = gate | (state.scan_index < 1)
+
+    # pub map factors: the first scan is trusted (slam_processor.cpp:540-552)
+    free_f = jnp.where(is_first, jnp.float32(cfg.map_min_passthrough),
+                       jnp.float32(cfg.map_update_free_factor))
+    occu_f = jnp.where(is_first, jnp.float32(cfg.map_min_passthrough * 2.0),
+                       jnp.float32(cfg.map_update_occu_factor))
+
+    new_pub = update_count_map(spec.pub_spec, state.pub, points, mask, pose,
+                               free_f, occu_f)
+    new_coarse = stamp_scan(spec.coarse_spec, state.coarse, points, mask, pose,
+                            use_blur=cfg.coarse_map_use_blur)
+    new_fine = stamp_scan(spec.fine_spec, state.fine, points, mask, pose,
+                          use_blur=cfg.fine_map_use_blur)
+
+    sel = lambda new, old: jnp.where(gate, new, old)
+    new_state = FrontendState(
+        pub=CountMap(sel(new_pub.hits, state.pub.hits),
+                     sel(new_pub.passes, state.pub.passes), state.pub.offset),
+        coarse=ProbMap(sel(new_coarse.probs, state.coarse.probs), state.coarse.offset),
+        fine=ProbMap(sel(new_fine.probs, state.fine.probs), state.fine.offset),
+        pose=pose,
+        last_map_update_pose=jnp.where(gate, pose, state.last_map_update_pose),
+        map_penalize_times=jnp.where(is_first, 0, pen_times).astype(jnp.int32),
+        scan_index=state.scan_index + gate.astype(jnp.int32),
+    )
+    info = StepInfo(pose=pose, score=score, cov=out.cov, map_updated=gate,
+                    pose_accepted=accept | is_first)
+    return new_state, info

@@ -98,18 +98,64 @@ def stamp_scan_batch(spec: ProbMapSpec, pmap: ProbMap, points_b, mask_b,
                      poses_b, scan_valid, use_blur: bool = True) -> ProbMap:
     """Rebuild/extend a scan-match map from a batch of scans in one op.
 
-    Because the update is a commutative max-merge, we max-reduce the batched
-    endpoint images and dilate once — replacing the reference's serial
-    InitMapWithRangeVec loop (occu_grid_map.h:222-255) with a single fused
-    batched kernel. ``scan_valid`` masks padded chain slots.
+    Because the update is a commutative max-merge, all scans' endpoints are
+    scattered into a single indicator image and dilated once — replacing the
+    reference's serial InitMapWithRangeVec loop (occu_grid_map.h:222-255)
+    with one fused batched kernel. ``scan_valid`` masks padded chain slots.
     """
-    imgs = jax.vmap(
-        lambda pts, m, pose: endpoint_image(spec, pmap.offset, pts, m, pose)
-    )(points_b, mask_b & scan_valid[:, None], poses_b)
-    img = jnp.max(imgs, axis=0)
+    inv_res = spec.inv_res
+    poses_map = jax.vmap(
+        lambda p: world_to_map_pose(pmap.offset, inv_res, p))(poses_b)
+    pts_map = jax.vmap(transform_points)(poses_map, points_b * inv_res)  # (K,P,2)
+    end = _cell_round(pts_map)
+    start = _cell_round(poses_map[:, None, :2])
+    same = jnp.all(end == start, axis=-1)
+    valid = mask_b & scan_valid[:, None] & ~same
+    valid &= (end[..., 0] >= 0) & (end[..., 0] < spec.width)
+    valid &= (end[..., 1] >= 0) & (end[..., 1] < spec.height)
+    flat = jnp.where(valid, end[..., 1] * spec.width + end[..., 0], -1)
+    img = jnp.zeros((spec.height * spec.width,), jnp.float32)
+    img = img.at[flat.reshape(-1)].max(
+        jnp.where(valid, 1.0, 0.0).reshape(-1), mode="drop")
+    img = img.reshape(spec.height, spec.width)
     if use_blur and spec.kernel_half > 0:
         img = dilate_with_kernel(img, spec.blur_kernel())
     return pmap._replace(probs=jnp.maximum(pmap.probs, img))
+
+
+def rebuild_count_map(spec: CountMapSpec, cmap_offset, points_b, mask_b,
+                      poses_b, scan_valid, free_factor, occu_factor,
+                      first_scan_extra: int = 0,
+                      first_free_factor=None, first_occu_factor=None) -> CountMap:
+    """Rebuild the pub map from scratch over a batch of scans.
+
+    Count updates are additive and commute, so the rebuild is a lax.scan of
+    per-scan mark images folded into fresh hit/pass planes — the equivalent
+    of CorrectPoseAndMap's InitMapWithRangeVec rebuild
+    (slam_processor.cpp:350-356), including the quirk of re-applying scan 0
+    ``min_passthrough`` extra times (:351-353).
+    """
+    fresh = CountMap(
+        hits=jnp.zeros((spec.height, spec.width), jnp.float32),
+        passes=jnp.zeros((spec.height, spec.width), jnp.float32),
+        offset=jnp.asarray(cmap_offset, jnp.float32),
+    )
+
+    def step(carry, inp):
+        pts, m, pose, v = inp
+        new = update_count_map(spec, carry, pts, m & v, pose,
+                               free_factor, occu_factor)
+        return new, None
+
+    out, _ = jax.lax.scan(
+        step, fresh,
+        (points_b, mask_b, poses_b, jnp.broadcast_to(scan_valid[:, None],
+                                                     mask_b.shape)),
+    )
+    for _ in range(first_scan_extra):
+        out = update_count_map(spec, out, points_b[0], mask_b[0], poses_b[0],
+                               free_factor, occu_factor)
+    return out
 
 
 def _ray_cells(spec: CountMapSpec, start_cell, end_cells, beam_mask):
