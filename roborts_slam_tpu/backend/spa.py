@@ -94,7 +94,7 @@ def _gauge_project(x, node_mask):
     return x * m
 
 
-def _hvp(poses, data: PoseGraphData, x):
+def _hvp(poses, data: PoseGraphData, x, reduce_fn=None):
     """Gauss-Newton Hessian-vector product, matrix-free:
     H x = Σ_e J_e^T I_e J_e x, accumulated by segment-sum over edges."""
     ja, jb = edge_jacobians(poses, data)
@@ -110,10 +110,12 @@ def _hvp(poses, data: PoseGraphData, x):
     out = jnp.zeros_like(x)
     out = out.at[ia].add(ga)
     out = out.at[ib].add(gb)
+    if reduce_fn is not None:
+        out = reduce_fn(out)
     return _gauge_project(out, data.node_mask)
 
 
-def _gradient(poses, data: PoseGraphData):
+def _gradient(poses, data: PoseGraphData, reduce_fn=None):
     r = edge_residuals(poses, data)
     ja, jb = edge_jacobians(poses, data)
     w = data.edge_mask.astype(poses.dtype)[:, None]
@@ -123,10 +125,12 @@ def _gradient(poses, data: PoseGraphData):
     g = jnp.zeros_like(poses)
     g = g.at[data.edge_ij[:, 0]].add(ga)
     g = g.at[data.edge_ij[:, 1]].add(gb)
+    if reduce_fn is not None:
+        g = reduce_fn(g)
     return _gauge_project(g, data.node_mask)
 
 
-def _block_diag(poses, data: PoseGraphData, damping):
+def _block_diag(poses, data: PoseGraphData, damping, reduce_fn=None):
     """(N,3,3) block-diagonal of H (+ LM damping) for preconditioning."""
     ja, jb = edge_jacobians(poses, data)
     w = data.edge_mask.astype(poses.dtype)[:, None, None]
@@ -136,20 +140,24 @@ def _block_diag(poses, data: PoseGraphData, damping):
     blocks = jnp.zeros((poses.shape[0], 3, 3), poses.dtype)
     blocks = blocks.at[data.edge_ij[:, 0]].add(ba)
     blocks = blocks.at[data.edge_ij[:, 1]].add(bb)
+    if reduce_fn is not None:
+        blocks = reduce_fn(blocks)
     eye = jnp.eye(3, dtype=poses.dtype)
     return blocks + (damping + 1e-6) * eye[None]
 
 
-def _pcg(poses, data: PoseGraphData, b, damping, iters: int, tol: float):
+def _pcg(poses, data: PoseGraphData, b, damping, iters: int, tol: float,
+         reduce_fn=None):
     """Preconditioned CG on (H + λI) x = b with block-Jacobi preconditioner."""
-    blocks = _block_diag(poses, data, damping)
+    blocks = _block_diag(poses, data, damping, reduce_fn)
     pinv = jnp.linalg.inv(blocks)
 
     def precond(v):
         return _gauge_project(jnp.einsum("nij,nj->ni", pinv, v), data.node_mask)
 
     def matvec(v):
-        return _hvp(poses, data, v) + damping * _gauge_project(v, data.node_mask)
+        return (_hvp(poses, data, v, reduce_fn)
+                + damping * _gauge_project(v, data.node_mask))
 
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -178,21 +186,25 @@ def _pcg(poses, data: PoseGraphData, b, damping, iters: int, tol: float):
     return x
 
 
-@partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
-def solve_pose_graph(data: PoseGraphData, max_iters: int = 50,
-                     cg_iters: int = 100, tol: float = 1e-9):
-    """Levenberg-Marquardt over the pose graph; returns (poses, final_cost,
-    iterations). Fully on-device (lax.while_loop), Ceres-style accept/reject
-    with adaptive damping."""
+def lm_solve(data: PoseGraphData, max_iters: int = 50, cg_iters: int = 100,
+             reduce_fn=None, scalar_reduce_fn=None):
+    """Levenberg-Marquardt loop; ``reduce_fn``/``scalar_reduce_fn`` hook in
+    cross-device psums when edges are sharded (parallel/dist_spa.py). Returns
+    (poses, final_cost, iterations), fully on-device (lax.while_loop),
+    Ceres-style accept/reject with adaptive damping."""
     poses0 = data.poses
+
+    def cost_fn(poses):
+        c = graph_cost(poses, data)
+        return scalar_reduce_fn(c) if scalar_reduce_fn is not None else c
 
     def body(state):
         it, poses, lam, cost, done = state
-        g = _gradient(poses, data)
-        step = _pcg(poses, data, -g, lam, cg_iters, 1e-6)
+        g = _gradient(poses, data, reduce_fn)
+        step = _pcg(poses, data, -g, lam, cg_iters, 1e-6, reduce_fn)
         new_poses = poses + step
         new_poses = new_poses.at[:, 2].set(normalize_angle(new_poses[:, 2]))
-        new_cost = graph_cost(new_poses, data)
+        new_cost = cost_fn(new_poses)
         improved = new_cost < cost
         poses = jnp.where(improved, new_poses, poses)
         lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-8), lam * 10.0)
@@ -206,11 +218,18 @@ def solve_pose_graph(data: PoseGraphData, max_iters: int = 50,
         it, poses, lam, cost, done = state
         return (it < max_iters) & (~done)
 
-    cost0 = graph_cost(poses0, data)
+    cost0 = cost_fn(poses0)
     it, poses, lam, cost, _ = jax.lax.while_loop(
         cond, body, (0, poses0, jnp.asarray(1e-4, poses0.dtype), cost0,
                      jnp.bool_(False)))
     return poses, cost, it
+
+
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+def solve_pose_graph(data: PoseGraphData, max_iters: int = 50,
+                     cg_iters: int = 100):
+    """Single-device jitted SPA solve (see lm_solve)."""
+    return lm_solve(data, max_iters=max_iters, cg_iters=cg_iters)
 
 
 def solve_pose_graph_dense(data: PoseGraphData, max_iters: int = 50):

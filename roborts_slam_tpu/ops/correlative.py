@@ -60,6 +60,12 @@ class CorrelativeParams:
     use_center_penalty: bool
     tier: int  # COARSE / FINE / SUPER
 
+    def pallas_eligible(self, map_resolution: float) -> bool:
+        """The Pallas scoring kernel requires an integer candidate step in
+        map cells (true for all reference configs)."""
+        st = self.search_space_resolution / map_resolution
+        return abs(st - round(st)) < 1e-6 and round(st) >= 1
+
     @property
     def n_angles(self) -> int:
         # correlate_scan_matcher.h:154
@@ -276,13 +282,28 @@ def angular_covariance(params: CorrelativeParams, spec: ProbMapSpec,
 
 def correlative_scan_match(spec: ProbMapSpec, params: CorrelativeParams,
                            probs, offset, points, mask, n_valid,
-                           pose_world, cov_in) -> MatchResult:
+                           pose_world, cov_in,
+                           use_pallas: bool | None = None) -> MatchResult:
     """One full tier match (BasedCorrelationScanMatch::ScanMatch,
     correlate_scan_matcher.h:784-875): score grid → penalty → tie-averaged
-    best pose → tier-specific covariance → threshold-gated pose update."""
+    best pose → tier-specific covariance → threshold-gated pose update.
+
+    ``use_pallas`` selects the Pallas VMEM-window scoring kernel (~10x the
+    XLA gather path on TPU); None = auto (TPU backend + integer step)."""
+    import jax
+
     center = world_to_map_pose(offset, spec.inv_res, pose_world)
-    scores, angles, xs, ys = score_candidates(
-        spec, params, probs, offset, points, mask, n_valid, center)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and params.pallas_eligible(spec.resolution))
+    if use_pallas:
+        from .pallas.correlation import score_candidates_pallas
+
+        scores, angles, xs, ys = score_candidates_pallas(
+            spec, params, probs, offset, points, mask, n_valid, center)
+    else:
+        scores, angles, xs, ys = score_candidates(
+            spec, params, probs, offset, points, mask, n_valid, center)
     scores = penalize_scores(params, spec, scores, angles, xs, ys, center)
     best_pose_map, best_score = find_best_candidate(scores, angles, xs, ys)
 

@@ -87,11 +87,41 @@ def dilate_with_kernel(img, kernel: np.ndarray):
 def stamp_scan(spec: ProbMapSpec, pmap: ProbMap, points, mask, pose_world,
                use_blur: bool = True) -> ProbMap:
     """Update a scan-match map with one scan (UpdateMapByRange with
-    just_update_occu=true): max-merge the (blurred) endpoint stamp."""
-    img = endpoint_image(spec, pmap.offset, points, mask, pose_world)
+    just_update_occu=true): max-merge the (blurred) endpoint stamp.
+
+    Implemented as a sparse scatter-max of the kernel footprint around every
+    endpoint (P x K x K values) directly into the map — equivalent to
+    stamping + dilating, but touches only the endpoint neighborhoods instead
+    of streaming the full map through a shifted-max pass."""
+    pose_map = world_to_map_pose(pmap.offset, spec.inv_res, pose_world)
+    pts_map = transform_points(pose_map, points * spec.inv_res)
+    end = _cell_round(pts_map)                       # (P, 2)
+    start = _cell_round(pose_map[:2])
+    same = (end[:, 0] == start[0]) & (end[:, 1] == start[1])
+    valid = mask & ~same
+
     if use_blur and spec.kernel_half > 0:
-        img = dilate_with_kernel(img, spec.blur_kernel())
-    return pmap._replace(probs=jnp.maximum(pmap.probs, img))
+        kernel = spec.blur_kernel()                  # (K, K), center 1.0
+        h = spec.kernel_half
+        offs = np.stack(np.meshgrid(np.arange(-h, h + 1),
+                                    np.arange(-h, h + 1),
+                                    indexing="ij"), -1).reshape(-1, 2)  # (K²,2) [dy,dx]
+        kvals = jnp.asarray(kernel.reshape(-1), jnp.float32)            # (K²,)
+        cy = end[:, None, 1] + jnp.asarray(offs[:, 0])                  # (P, K²)
+        cx = end[:, None, 0] + jnp.asarray(offs[:, 1])
+        vals = jnp.broadcast_to(kvals[None, :], cy.shape)
+    else:
+        cy = end[:, 1:2]
+        cx = end[:, 0:1]
+        vals = jnp.ones_like(cy, jnp.float32)
+
+    inb = (cx >= 0) & (cx < spec.width) & (cy >= 0) & (cy < spec.height)
+    ok = inb & valid[:, None]
+    flat = jnp.where(ok, cy * spec.width + cx, -1)
+    vals = jnp.where(ok, vals, 0.0)
+    probs = pmap.probs.reshape(-1).at[flat.reshape(-1)].max(
+        vals.reshape(-1), mode="drop")
+    return pmap._replace(probs=probs.reshape(spec.height, spec.width))
 
 
 def stamp_scan_batch(spec: ProbMapSpec, pmap: ProbMap, points_b, mask_b,
