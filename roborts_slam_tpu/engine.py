@@ -12,6 +12,8 @@ slam_processor.cpp:384-426).
 from __future__ import annotations
 
 import dataclasses
+import queue as _queue
+import threading
 import time as _time
 
 import jax
@@ -34,7 +36,9 @@ class ScanStore:
     meters — the reference's per-resolution scaled copies (:576-579) are
     replaced by on-the-fly scaling inside the kernels."""
 
-    def __init__(self, max_points: int):
+    def __init__(self, max_points: int,
+                 running_range_max_scans: int = 70,
+                 running_range_max_distance: float = 5.0):
         self.max_points = max_points
         self._points: list[np.ndarray] = []
         self._masks: list[np.ndarray] = []
@@ -44,6 +48,12 @@ class ScanStore:
         self.odoms: list[np.ndarray] = []
         self.times: list[float] = []
         self._pub_arrays = None                  # set by engine each frontend step
+        # running-range sliding window (UpdateRunningRange,
+        # sensor_data_manager.h:540-558): most recent scan ids bounded by
+        # count and by span of their sensor x/y positions
+        self.running_range_max_scans = running_range_max_scans
+        self.running_range_max_distance = running_range_max_distance
+        self.running_ids: list[int] = []
 
     def __len__(self):
         return len(self._points)
@@ -59,7 +69,23 @@ class ScanStore:
         self.poses.append(np.asarray(pose, np.float64).copy())
         self.odoms.append(np.asarray(odom, np.float64).copy())
         self.times.append(float(t))
-        return len(self._points) - 1
+        sid = len(self._points) - 1
+        self._update_running_range(sid)
+        return sid
+
+    def _update_running_range(self, scan_id: int):
+        """Sliding window over recent scans (UpdateRunningRange,
+        sensor_data_manager.h:540-558): cap the id count, then shrink from
+        the front while the window's sensor-position span exceeds the
+        distance bound."""
+        self.running_ids.append(scan_id)
+        while len(self.running_ids) > self.running_range_max_scans:
+            self.running_ids.pop(0)
+        def span_exceeds():
+            ps = np.asarray([self.poses[i][:2] for i in self.running_ids])
+            return (ps.max(0) - ps.min(0)).max() > self.running_range_max_distance
+        while len(self.running_ids) > 1 and span_exceeds():
+            self.running_ids.pop(0)
 
     def set_pose(self, scan_id: int, pose: np.ndarray):
         self.poses[scan_id] = np.asarray(pose, np.float64).copy()
@@ -125,7 +151,12 @@ class SlamEngine:
                  synchronous_backend: bool = True):
         self.config = config
         self.laser = laser
-        self.fspec = FrontendSpec.from_config(config, laser.range_max, world_size)
+        # requested world extent (pre-rounding) — checkpoints restore with
+        # this exact value so map spec shapes reproduce
+        self.world_size = (world_size if world_size is not None
+                           else config.derived_world_size(laser.range_max))
+        self.fspec = FrontendSpec.from_config(config, laser.range_max,
+                                              self.world_size)
         self.bspec = BackendSpec.from_config(config, laser.range_max,
                                              self.fspec.pub_spec)
         self.state: FrontendState = init_frontend_state(self.fspec)
@@ -137,9 +168,22 @@ class SlamEngine:
         self.trajectory: list[tuple[float, np.ndarray]] = []  # (t, pose) per processed scan
         self._last_kept_odom: np.ndarray | None = None
         self._last_process_time: float | None = None
-        self._step = jax.jit(frontend_step, static_argnames=("spec",),
-                             donate_argnums=(1,))
+        # buffer donation reuses map arrays in place, but is only safe when
+        # the back end cannot hold references across a later step
+        self._step = jax.jit(
+            frontend_step, static_argnames=("spec",),
+            donate_argnums=(1,) if synchronous_backend else ())
         self._pending_backend: list[tuple[int, np.ndarray]] = []
+        # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
+        # the front end streams scans while the worker drains the queue
+        self._state_lock = threading.Lock()
+        self._backend_queue: _queue.SimpleQueue | None = None
+        self._backend_thread: threading.Thread | None = None
+        if not synchronous_backend:
+            self._backend_queue = _queue.SimpleQueue()
+            self._backend_thread = threading.Thread(
+                target=self._backend_worker, daemon=True)
+            self._backend_thread.start()
 
     # ---- gates (MoveEnough, slam_processor.cpp:604-616) ----
 
@@ -176,10 +220,11 @@ class SlamEngine:
                      else odom)
 
         t0 = _time.perf_counter()
-        self.state, info = self._step(
-            self.fspec, self.state, scan.points, scan.mask,
-            jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
-            jnp.asarray(odom, jnp.float32))
+        with self._state_lock:
+            self.state, info = self._step(
+                self.fspec, self.state, scan.points, scan.mask,
+                jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
+                jnp.asarray(odom, jnp.float32))
         accepted = bool(info.map_updated)
         pose = np.asarray(info.pose, np.float64)
         self.diag.match_time_s += _time.perf_counter() - t0
@@ -197,9 +242,11 @@ class SlamEngine:
                                   self.state.pub.offset)
 
         cov = np.asarray(info.cov, np.float64)
-        self._pending_backend.append((scan_id, cov))
         if self.synchronous_backend:
+            self._pending_backend.append((scan_id, cov))
             self.process_backend()
+        else:
+            self._backend_queue.put((scan_id, cov))
         return True
 
     def process_backend(self):
@@ -217,9 +264,51 @@ class SlamEngine:
         self.diag.loop_closures = self.backend.num_loop_closures
         self.diag.backend_time_s += _time.perf_counter() - t0
 
+    # ---- async pipeline (the reference's back-end thread) ----
+
+    def _backend_worker(self):
+        """Drain the queue batch-wise, exactly the reference's condvar loop
+        (BackEndProcessThread, slam_processor.cpp:384-426): graph updates for
+        every buffered scan, then one loop-closure pass at the newest."""
+        while True:
+            item = self._backend_queue.get()
+            if item is None:
+                return
+            batch = [item]
+            while True:            # drain without blocking (buffer drain, :405)
+                try:
+                    batch.append(self._backend_queue.get_nowait())
+                except _queue.Empty:
+                    break
+            if batch[-1] is None:
+                batch.pop()
+                stop = True
+            else:
+                stop = False
+            t0 = _time.perf_counter()
+            for sid, cov in batch:
+                self.backend.update_graph(sid, cov)
+            if batch:
+                self.backend.try_close_loop(batch[-1][0])
+            self.diag.loop_closures = self.backend.num_loop_closures
+            self.diag.backend_time_s += _time.perf_counter() - t0
+            if stop:
+                return
+
+    def finish(self):
+        """Flush the async back end (no-op in synchronous mode)."""
+        if self._backend_thread is not None:
+            self._backend_queue.put(None)
+            self._backend_thread.join()
+            self._backend_thread = None
+
     # ---- corrections (CorrectPoseAndMap, slam_processor.cpp:329-370) ----
 
     def _apply_corrections(self, corrected: np.ndarray):
+        with self._state_lock:
+            self._apply_corrections_locked(corrected)
+
+    def _apply_corrections_locked(self, corrected: np.ndarray):
         for sid in range(corrected.shape[0]):
             self.store.set_pose(sid, corrected[sid])
         # keep uncorrected trailing scans' relative placement: none exist in
@@ -267,6 +356,7 @@ class SlamEngine:
             if progress and i % 50 == 0:
                 print(f"  scan {i}/{len(log)} kept={len(self.store)} "
                       f"loops={self.backend.num_loop_closures}")
+        self.finish()
         return self.trajectory_array()
 
     def trajectory_array(self) -> np.ndarray:

@@ -1,0 +1,86 @@
+"""Engine subsystems: async back-end pipeline, running-range window,
+checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from roborts_slam_tpu.engine import ScanStore, SlamEngine
+from roborts_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from roborts_slam_tpu.io.scenes import SCENES, load_scene_map
+from roborts_slam_tpu.io.simulate import simulate_log
+from roborts_slam_tpu.utils.evaluation import ate_rmse, match_by_time
+from tests.test_e2e_small import _small_config
+
+
+@pytest.fixture(scope="module")
+def icra_log():
+    sc = SCENES["icra"]
+    gt = load_scene_map(sc)
+    return simulate_log(gt, sc.laser, odom_error=sc.odom_error,
+                        range_noise=0.005, seed=3)
+
+
+def test_running_range_window():
+    store = ScanStore(max_points=8, running_range_max_scans=5,
+                      running_range_max_distance=2.0)
+    pts = np.zeros((8, 2), np.float32)
+    msk = np.ones(8, bool)
+    # walk along x in 0.5 m steps: span cap (2.0 m) binds before count cap
+    for i in range(10):
+        store.add(pts, msk, 8, np.array([0.5 * i, 0.0, 0.0]), np.zeros(3), i)
+    ids = store.running_ids
+    assert len(ids) <= 5
+    ps = np.array([store.poses[j][:2] for j in ids])
+    assert (ps.max(0) - ps.min(0)).max() <= 2.0 + 1e-9
+    assert ids[-1] == 9       # newest always kept
+
+
+def test_async_backend_pipeline(icra_log):
+    cfg = _small_config()
+    log = icra_log
+    sync = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    t_sync = sync.run_log(log)
+    async_e = SlamEngine(cfg, log.laser, synchronous_backend=False)
+    t_async = async_e.run_log(log)      # run_log flushes via finish()
+    assert async_e._backend_thread is None   # joined
+
+    est_s, gt_s = match_by_time(t_sync, log.gt_poses, log.times)
+    est_a, gt_a = match_by_time(t_async, log.gt_poses, log.times)
+    ate_s = ate_rmse(est_s, gt_s)
+    ate_a = ate_rmse(est_a, gt_a)
+    # same graph construction stream => same links; timing may shift
+    # correction application, so require quality parity not bit equality
+    assert async_e.backend.num_links >= 1
+    assert ate_a < max(2.0 * ate_s, 0.15), (ate_a, ate_s)
+
+
+def test_checkpoint_roundtrip(tmp_path, icra_log):
+    cfg = _small_config()
+    log = icra_log
+    half = len(log) // 2
+
+    full = SlamEngine(cfg, log.laser)
+    for i in range(len(log)):
+        full.process(log.ranges[i], log.odom[i], float(log.times[i]))
+
+    part = SlamEngine(cfg, log.laser)
+    for i in range(half):
+        part.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(part, path)
+
+    resumed = load_checkpoint(path)
+    assert len(resumed.store) == len(part.store)
+    assert resumed.backend.graph.num_vertices == part.backend.graph.num_vertices
+    np.testing.assert_allclose(resumed.store.poses_array(),
+                               part.store.poses_array(), atol=1e-12)
+    for i in range(half, len(log)):
+        resumed.process(log.ranges[i], log.odom[i], float(log.times[i]))
+
+    t_full = full.trajectory_array()
+    t_res = resumed.trajectory_array()
+    assert t_full.shape == t_res.shape
+    # resume is bit-exact in state, so trajectories agree to float tolerance
+    np.testing.assert_allclose(t_res, t_full, atol=1e-5)
