@@ -165,6 +165,8 @@ class SlamEngine:
         self.backend.on_corrections = self._apply_corrections
         self.synchronous_backend = synchronous_backend
         self.diag = EngineDiagnostics()
+        from .utils.profiling import StageTimers
+        self.timers = StageTimers()
         self.trajectory: list[tuple[float, np.ndarray]] = []  # (t, pose) per processed scan
         self._last_kept_odom: np.ndarray | None = None
         self._last_process_time: float | None = None
@@ -220,12 +222,12 @@ class SlamEngine:
                      else odom)
 
         t0 = _time.perf_counter()
-        with self._state_lock:
+        with self._state_lock, self.timers.stage("frontend_step"):
             self.state, info = self._step(
                 self.fspec, self.state, scan.points, scan.mask,
                 jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                 jnp.asarray(odom, jnp.float32))
-        accepted = bool(info.map_updated)
+        accepted = bool(info.map_updated)   # forces the dispatch to complete
         pose = np.asarray(info.pose, np.float64)
         self.diag.match_time_s += _time.perf_counter() - t0
 
@@ -257,10 +259,12 @@ class SlamEngine:
             return
         t0 = _time.perf_counter()
         last_id = self._pending_backend[-1][0]
-        while self._pending_backend:
-            sid, cov = self._pending_backend.pop(0)
-            self.backend.update_graph(sid, cov)
-        self.backend.try_close_loop(last_id)
+        with self.timers.stage("backend_update"):
+            while self._pending_backend:
+                sid, cov = self._pending_backend.pop(0)
+                self.backend.update_graph(sid, cov)
+        with self.timers.stage("backend_loop_closure"):
+            self.backend.try_close_loop(last_id)
         self.diag.loop_closures = self.backend.num_loop_closures
         self.diag.backend_time_s += _time.perf_counter() - t0
 

@@ -134,6 +134,42 @@ def map_to_world_pose(offset, inv_res: float, pose):
     return jnp.concatenate([xy, pose[..., 2:3]], axis=-1)
 
 
+class LogOddsMap(NamedTuple):
+    """Log-odds occupancy plane (LogOddsCell, grid_map_cell.h:166-296 —
+    defined by the reference but unused by its map aliases; provided here
+    for parity and as the standard alternative pub-map cell model)."""
+
+    log_odds: jnp.ndarray   # (H, W) f32
+    offset: jnp.ndarray     # (2,) f32
+
+
+def make_log_odds_map(spec: CountMapSpec, offset) -> LogOddsMap:
+    return LogOddsMap(
+        log_odds=jnp.zeros((spec.height, spec.width), jnp.float32),
+        offset=jnp.asarray(offset, jnp.float32),
+    )
+
+
+def prob_to_log_odds(p):
+    """ProbToLogOdds (grid_map_cell.h:286-292)."""
+    return jnp.log(p / (1.0 - p))
+
+
+def log_odds_to_prob(lo):
+    """GetGridProbability (grid_map_cell.h:84-89): odds/(1+odds)."""
+    odds = jnp.exp(lo)
+    return odds / (1.0 + odds)
+
+
+def log_odds_map_states(lmap: LogOddsMap, occu_threshold: float = 0.5):
+    """GridStates (grid_map_cell.h:100-108): -1 unknown (untouched),
+    0 free, 100 occupied."""
+    p = log_odds_to_prob(lmap.log_odds)
+    unknown = lmap.log_odds == 0.0
+    return jnp.where(unknown, -1,
+                     jnp.where(p >= occu_threshold, 100, 0)).astype(jnp.int32)
+
+
 def count_map_probs(cmap: CountMap, default_prob: float = 0.5):
     """Derived cell probability hit/pass (grid_map_cell.h:94-111)."""
     return jnp.where(cmap.passes > 0, cmap.hits / jnp.maximum(cmap.passes, 1e-9), default_prob)

@@ -235,6 +235,19 @@ def scan_mark_image(spec: CountMapSpec, offset, points, mask, pose_world):
     return img.reshape(spec.height, spec.width)
 
 
+def update_log_odds_map(spec: CountMapSpec, lmap, points, mask, pose_world,
+                        free_prob: float = 0.3, occu_prob: float = 0.9):
+    """Log-odds pub-map update for one scan (LogOddsCellFunctions,
+    grid_map_cell.h:205-235): pass-through cells add log-odds(free_prob),
+    endpoint cells add log-odds(occu_prob); per-scan idempotence comes from
+    the mark image (occupied wins over free on the same cell)."""
+    mark = scan_mark_image(spec, lmap.offset, points, mask, pose_world)
+    lo_free = float(np.log(free_prob / (1.0 - free_prob)))
+    lo_occu = float(np.log(occu_prob / (1.0 - occu_prob)))
+    delta = jnp.where(mark == 2, lo_occu, jnp.where(mark == 1, lo_free, 0.0))
+    return lmap._replace(log_odds=lmap.log_odds + delta)
+
+
 def update_count_map(spec: CountMapSpec, cmap: CountMap, points, mask,
                      pose_world, free_factor, occu_factor) -> CountMap:
     """Pub-map update for one scan (CountCellFunctions, grid_map_cell.h:94-111):
