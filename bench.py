@@ -49,7 +49,7 @@ def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20) -> float:
     raise RuntimeError(f"unexpected baseline output: {out!r}")
 
 
-def tpu_scans_per_sec(beams: int = 1081, batch: int = 8, chain: int = 25,
+def tpu_scans_per_sec(beams: int = 1081, batch: int = 16, chain: int = 64,
                       reps: int = 5) -> float:
     import jax
     import jax.numpy as jnp

@@ -77,3 +77,19 @@ def test_sharded_batch_scan_match():
     poses = np.asarray(poses)
     assert np.all(np.asarray(scores) > 0.5)
     assert np.abs(poses[:, :2]).max() < 0.03, poses
+
+
+def test_multihost_harness_cpu():
+    """Mechanics only: the mesh/scaling harness runs on the virtual mesh
+    (efficiency is meaningless on shared CPU cores; real numbers come from
+    pod runs)."""
+    from roborts_slam_tpu.parallel.multihost import (
+        global_mesh, scaling_run, spa_scaling_workload)
+
+    m = global_mesh()
+    assert m.shape["data"] * m.shape["graph"] == len(jax.devices())
+    wf = spa_scaling_workload(n_nodes=64, max_iters=3, cg_iters=5)
+    pts = scaling_run(wf, [1, 2], reps=1)
+    assert len(pts) == 2
+    assert pts[0].throughput > 0 and pts[1].throughput > 0
+    assert pts[0].efficiency == 1.0
