@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-map", default=None)
+    ap.add_argument("--render", default=None,
+                    help="render map+trajectory+graph to a PNG")
     ap.add_argument("--checkpoint", default=None,
                     help="write an engine checkpoint at the end")
     args = ap.parse_args()
@@ -65,16 +67,16 @@ def main():
     print("\n" + engine.timers.report())
 
     if args.save_map:
-        import numpy as np
+        from roborts_slam_tpu.utils.viz import save_pgm
 
-        states = engine.get_pub_map()
-        img = np.where(states == -1, 205,
-                       np.where(states == 100, 0, 254)).astype(np.uint8)
-        h, w = img.shape
-        with open(args.save_map, "wb") as f:
-            f.write(b"P5\n%d %d\n255\n" % (w, h))
-            f.write(img[::-1].tobytes())
+        save_pgm(engine.get_pub_map(), args.save_map)
         print(f"map written to {args.save_map}")
+
+    if args.render:
+        from roborts_slam_tpu.utils.viz import render_run
+
+        render_run(engine, args.render, gt_poses=log.gt_poses)
+        print(f"render written to {args.render}")
 
     if args.checkpoint:
         from roborts_slam_tpu.io.checkpoint import save_checkpoint

@@ -236,6 +236,7 @@ class SlamEngine:
             return False
 
         self.diag.scans_processed += 1
+        self._check_world_bounds(pose)
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
         scan_id = self.store.add(np.asarray(scan.points), np.asarray(scan.mask),
                                  n_valid, pose, odom, t)
@@ -267,6 +268,28 @@ class SlamEngine:
             self.backend.try_close_loop(last_id)
         self.diag.loop_closures = self.backend.num_loop_closures
         self.diag.backend_time_s += _time.perf_counter() - t0
+
+    def _check_world_bounds(self, pose: np.ndarray):
+        """The reference grows its maps dynamically (GridMapBase::UpdateBound,
+        grid_map_base.h:257-274); the TPU build preallocates the world extent
+        for static shapes, so warn loudly (once) when the trajectory nears
+        the edge — the fix is a larger ``world_size``."""
+        if getattr(self, "_bounds_warned", False):
+            return
+        off = np.asarray(self.state.pub.offset)
+        res = self.fspec.pub_spec.resolution
+        extent = np.array([self.fspec.pub_spec.width,
+                           self.fspec.pub_spec.height]) * res
+        cell = pose[:2] + off
+        margin = self.laser.range_max * 0.5
+        if (cell < margin).any() or (cell > extent - margin).any():
+            import warnings
+
+            warnings.warn(
+                f"pose {pose[:2]} within {margin:.1f} m of the preallocated "
+                f"world edge (extent {extent}); scans will clip — increase "
+                f"world_size", RuntimeWarning, stacklevel=3)
+            self._bounds_warned = True
 
     # ---- async pipeline (the reference's back-end thread) ----
 
