@@ -31,9 +31,15 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 NATIVE_SRC = os.path.join(REPO, "native", "baseline_correlative.cpp")
 NATIVE_BIN = os.path.join(REPO, "native", "baseline_correlative")
 
-# persistent compile cache: the tunnel's compiles are slow and erratic
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+def _enable_compile_cache():
+    """Persistent compile cache: the TPU tunnel's compiles are slow and
+    erratic. Must go through jax.config because jax may already be imported
+    (sitecustomize preloads it)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20) -> float:
@@ -53,6 +59,8 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16, chain: int = 64,
                       reps: int = 5) -> float:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from roborts_slam_tpu.config import load_config
     from roborts_slam_tpu.frontend.matchers import MatcherParams, scan_match

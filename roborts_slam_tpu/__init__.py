@@ -10,5 +10,24 @@ arrays, batched/sharded across TPU device meshes.
 
 from .config import SlamConfig, load_config
 
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax-heavy modules on
+    # package import)
+    if name == "SlamEngine":
+        from .engine import SlamEngine
+
+        return SlamEngine
+    if name == "ScanLog":
+        from .io.scan_log import ScanLog
+
+        return ScanLog
+    if name == "LaserModel":
+        from .models.scan import LaserModel
+
+        return LaserModel
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
-__all__ = ["SlamConfig", "load_config"]
+__all__ = ["SlamConfig", "load_config", "SlamEngine", "ScanLog", "LaserModel"]

@@ -99,10 +99,25 @@ def scan_match(params: MatcherParams,
     """
     cov = jnp.eye(3, dtype=jnp.float32)
 
+    # all correlative tiers read the same fine map around the same search
+    # region: build the Pallas VMEM slab once and share it across tiers
+    import jax as _jax
+
+    slab_cache = None
+    if (_jax.default_backend() == "tpu"
+            and params.coarse.pallas_eligible(fine_spec.resolution)
+            and params.fine.pallas_eligible(fine_spec.resolution)
+            and params.super_fine.pallas_eligible(fine_spec.resolution)):
+        from ..ops.pallas.correlation import build_slab_cache
+
+        slab_cache = build_slab_cache(fine_spec, fine_probs, fine_offset,
+                                      init_pose)
+
     def run_coarse(start_pose, cov_in):
         res = correlative_scan_match(fine_spec, params.coarse, fine_probs,
                                      fine_offset, points, mask, n_valid,
-                                     start_pose, cov_in)
+                                     start_pose, cov_in,
+                                     slab_cache=slab_cache)
         return res.pose, res.response, res.cov
 
     if params.use_optimize_scan_match:
@@ -133,10 +148,11 @@ def scan_match(params: MatcherParams,
     if use_fine_scan_match:
         res_f = correlative_scan_match(fine_spec, params.fine, fine_probs,
                                        fine_offset, points, mask, n_valid,
-                                       pose, cov)
+                                       pose, cov, slab_cache=slab_cache)
         res_s = correlative_scan_match(fine_spec, params.super_fine, fine_probs,
                                        fine_offset, points, mask, n_valid,
-                                       res_f.pose, res_f.cov)
+                                       res_f.pose, res_f.cov,
+                                       slab_cache=slab_cache)
         pose = res_s.pose
         score = score + res_f.response + res_s.response
         cov = res_s.cov

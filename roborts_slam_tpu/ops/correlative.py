@@ -283,7 +283,8 @@ def angular_covariance(params: CorrelativeParams, spec: ProbMapSpec,
 def correlative_scan_match(spec: ProbMapSpec, params: CorrelativeParams,
                            probs, offset, points, mask, n_valid,
                            pose_world, cov_in,
-                           use_pallas: bool | None = None) -> MatchResult:
+                           use_pallas: bool | None = None,
+                           slab_cache=None) -> MatchResult:
     """One full tier match (BasedCorrelationScanMatch::ScanMatch,
     correlate_scan_matcher.h:784-875): score grid → penalty → tie-averaged
     best pose → tier-specific covariance → threshold-gated pose update.
@@ -300,7 +301,8 @@ def correlative_scan_match(spec: ProbMapSpec, params: CorrelativeParams,
         from .pallas.correlation import score_candidates_pallas
 
         scores, angles, xs, ys = score_candidates_pallas(
-            spec, params, probs, offset, points, mask, n_valid, center)
+            spec, params, probs, offset, points, mask, n_valid, center,
+            slab_cache=slab_cache)
     else:
         scores, angles, xs, ys = score_candidates(
             spec, params, probs, offset, points, mask, n_valid, center)

@@ -144,14 +144,31 @@ def accumulate_windows(n_iters, codes, slab, n_samples: int, rows: int,
     )(n_iters, codes, slab)
 
 
+def build_slab_cache(spec, probs, offset, pose_world):
+    """Precompute the VMEM slab once per match: the crop depends only on
+    (map, search center), not on tier params, so the 3-tier facade shares
+    one slab instead of re-cropping ~10 MB per tier. Returns (slab, oy, ox).
+    Safe across tiers: range gating keeps beams within CROP/2 cells of the
+    initial center, and inter-tier pose refinement moves the center by at
+    most the coarse window (tens of cells)."""
+    from ..correlative import world_to_map_pose
+
+    center = world_to_map_pose(offset, spec.inv_res, pose_world)
+    oy = (center[1]).astype(jnp.int32) - CROP // 2
+    ox = (center[0]).astype(jnp.int32) - CROP // 2
+    return make_slab(probs, oy, ox, spec.default_prob)
+
+
 def score_candidates_pallas(spec, params, probs, offset, points, mask,
                             n_valid, center_pose_map,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            slab_cache=None):
     """Drop-in replacement for ops.correlative.score_candidates when the
     candidate step is an integer number of map cells.
 
     Returns (scores (A, N, N), angles (A,), xs (N,), ys (N,)) with identical
-    semantics (up to bf16 map quantization).
+    semantics (up to bf16 map quantization). ``slab_cache`` (from
+    build_slab_cache) skips the per-tier map crop.
     """
     from ..correlative import _sample_indices
 
@@ -183,10 +200,13 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
     x0 = center_pose_map[0] - (params.search_space_size * inv_res) * 0.5
     y0 = center_pose_map[1] - (params.search_space_size * inv_res) * 0.5
 
-    # crop origin: center the slab on the scan center
-    oy = (center_pose_map[1]).astype(jnp.int32) - CROP // 2
-    ox = (center_pose_map[0]).astype(jnp.int32) - CROP // 2
-    slab, oy, ox = make_slab(probs, oy, ox, spec.default_prob)
+    if slab_cache is not None:
+        slab, oy, ox = slab_cache
+    else:
+        # crop origin: center the slab on the scan center
+        oy = (center_pose_map[1]).astype(jnp.int32) - CROP // 2
+        ox = (center_pose_map[0]).astype(jnp.int32) - CROP // 2
+        slab, oy, ox = make_slab(probs, oy, ox, spec.default_prob)
 
     by = jnp.floor(ry + y0 + 0.5).astype(jnp.int32) - oy
     bx = jnp.floor(rx + x0 + 0.5).astype(jnp.int32) - ox
