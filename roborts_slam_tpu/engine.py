@@ -30,6 +30,14 @@ from .ops.raster import rebuild_count_map, stamp_scan_batch
 from .models.grid_map import CountMap, ProbMap, count_map_states
 
 
+class _PreparedScan:
+    __slots__ = ("points", "mask")
+
+    def __init__(self, points, mask):
+        self.points = points
+        self.mask = mask
+
+
 class ScanStore:
     """Append-only store of accepted scans (SensorDataManager,
     src/slam/sensor_data_manager.h:349-595). One copy per scan in sensor-local
@@ -208,16 +216,23 @@ class SlamEngine:
     # ---- main entry ----
 
     def process(self, ranges: np.ndarray, odom: np.ndarray, t: float) -> bool:
-        """Feed one scan; returns True if it was accepted into the map."""
+        """Feed one scan (raw ranges); returns True if accepted."""
+        scan = scan_from_ranges(ranges, self.laser, odom, t,
+                                self.config.max_points)
+        n_valid = int(np.sum(np.asarray(scan.mask)))
+        return self.process_points(scan.points, scan.mask, n_valid, odom, t)
+
+    def process_points(self, points, mask, n_valid: int, odom: np.ndarray,
+                       t: float) -> bool:
+        """Feed one pre-converted scan (sensor-local cartesian points,
+        front-packed mask) — the native RSLG stream's ingest path."""
         self.diag.scans_in += 1
         if not self._move_enough(odom, t):
             self.diag.scans_dropped_move += 1
             return False
         self._last_process_time = t
 
-        scan = scan_from_ranges(ranges, self.laser, odom, t,
-                                self.config.max_points)
-        n_valid = int(np.sum(np.asarray(scan.mask)))
+        scan = _PreparedScan(jnp.asarray(points), jnp.asarray(mask))
         last_odom = (self._last_kept_odom if self._last_kept_odom is not None
                      else odom)
 
@@ -382,6 +397,17 @@ class SlamEngine:
             self.process(log.ranges[i], log.odom[i], float(log.times[i]))
             if progress and i % 50 == 0:
                 print(f"  scan {i}/{len(log)} kept={len(self.store)} "
+                      f"loops={self.backend.num_loop_closures}")
+        self.finish()
+        return self.trajectory_array()
+
+    def run_stream(self, stream, progress: bool = False) -> np.ndarray:
+        """Consume a NativeScanStream (io/native_log.py): points are decoded
+        and gated by the native worker ahead of the engine."""
+        for i, (idx, pts, msk, nv, t, odom) in enumerate(stream):
+            self.process_points(pts, msk, nv, odom, t)
+            if progress and i % 50 == 0:
+                print(f"  scan {i} kept={len(self.store)} "
                       f"loops={self.backend.num_loop_closures}")
         self.finish()
         return self.trajectory_array()
