@@ -178,6 +178,7 @@ class SlamEngine:
         self.trajectory: list[tuple[float, np.ndarray]] = []  # (t, pose) per processed scan
         self._last_kept_odom: np.ndarray | None = None
         self._last_process_time: float | None = None
+        self._odom_history: list[tuple[float, np.ndarray]] = []
         # buffer donation reuses map arrays in place, but is only safe when
         # the back end cannot hold references across a later step
         self._step = jax.jit(
@@ -217,10 +218,44 @@ class SlamEngine:
 
     def process(self, ranges: np.ndarray, odom: np.ndarray, t: float) -> bool:
         """Feed one scan (raw ranges); returns True if accepted."""
-        scan = scan_from_ranges(ranges, self.laser, odom, t,
-                                self.config.max_points)
-        n_valid = int(np.sum(np.asarray(scan.mask)))
-        return self.process_points(scan.points, scan.mask, n_valid, odom, t)
+        self._odom_history.append((t, np.asarray(odom, np.float64).copy()))
+        if len(self._odom_history) > 64:
+            self._odom_history.pop(0)
+        if (self.config.use_odom_correct and self.laser.scan_time > 0
+                and len(self._odom_history) >= 2):
+            points, mask, n_valid = self._dedistorted_points(ranges, t)
+        else:
+            scan = scan_from_ranges(ranges, self.laser, odom, t,
+                                    self.config.max_points)
+            points, mask = scan.points, scan.mask
+            n_valid = int(np.sum(np.asarray(scan.mask)))
+        return self.process_points(points, mask, n_valid, odom, t)
+
+    def _dedistorted_points(self, ranges: np.ndarray, t: float):
+        """Odometry-based sweep de-distortion (LaserDataProcessor,
+        laser_data_processor.cpp:43-314) on the ingest path: re-project each
+        beam into the sweep-start frame using the recent odometry history,
+        then gate and front-pack like scan_from_ranges."""
+        from .io.dedistort import dedistort_scan
+
+        ranges = np.asarray(ranges, np.float32)
+        # the reference also drops beams beyond range_threshold
+        # (roborts_slam_node.cpp:295-307); mark them invalid pre-correction
+        gated = np.where(ranges < self.laser.range_threshold, ranges, 0.0)
+        ot = np.array([h[0] for h in self._odom_history])
+        op = np.stack([h[1] for h in self._odom_history])
+        pts = dedistort_scan(gated, self.laser, t - self.laser.scan_time,
+                             self.laser.scan_time, ot, op)
+        valid = ~np.isnan(pts[:, 0])
+        n = int(valid.sum())
+        mp = self.config.max_points
+        if n > mp:
+            raise ValueError(f"{n} valid points > max_points={mp}")
+        points = np.zeros((mp, 2), np.float32)
+        points[:n] = pts[valid]
+        mask = np.zeros(mp, bool)
+        mask[:n] = True
+        return points, mask, n
 
     def process_points(self, points, mask, n_valid: int, odom: np.ndarray,
                        t: float) -> bool:

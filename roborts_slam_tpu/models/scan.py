@@ -34,6 +34,7 @@ class LaserModel:
     range_max: float
     num_beams: int
     range_threshold_scale: float = 0.95
+    scan_time: float = 0.0     # sweep duration (s); 0 = instantaneous
 
     @property
     def range_threshold(self) -> float:

@@ -63,6 +63,29 @@ def transform_points(pose, points):
     return rotated + pose[..., None, :2]
 
 
+def points_bound_box(points, mask):
+    """Masked axis-aligned bound box of a point set (reference
+    ``BoundBox2d`` + ``RangeDataContainer::UpdateBoundBox``, boundbox.h:34-147,
+    sensor_data_manager.h:241-247). Returns ((2,) min, (2,) max); empty
+    masks yield an inverted box (min=+inf, max=-inf) like the reference's
+    initial state."""
+    big = jnp.float32(3.4e38)
+    w = mask[..., None]
+    mn = jnp.min(jnp.where(w, points, big), axis=-2)
+    mx = jnp.max(jnp.where(w, points, -big), axis=-2)
+    return mn, mx
+
+
+def bound_box_contains(mn, mx, xy):
+    """Point-in-box test (BoundBox::Contain, boundbox.h:96-104)."""
+    return jnp.all((xy >= mn) & (xy <= mx), axis=-1)
+
+
+def bound_box_union(mn1, mx1, mn2, mx2):
+    """Box union (BoundBox::AddBoundBox, boundbox.h:77-94)."""
+    return jnp.minimum(mn1, mn2), jnp.maximum(mx1, mx2)
+
+
 def pose_change_enough(p1, p2, dist_thresh, angle_thresh):
     """Reference ``util::PoseChangeEnough`` (slam_util.h:113-126)."""
     dist = jnp.linalg.norm(p1[..., :2] - p2[..., :2], axis=-1)

@@ -84,3 +84,20 @@ def test_checkpoint_roundtrip(tmp_path, icra_log):
     assert t_full.shape == t_res.shape
     # resume is bit-exact in state, so trajectories agree to float tolerance
     np.testing.assert_allclose(t_res, t_full, atol=1e-5)
+
+
+def test_engine_dedistortion_path(icra_log):
+    """use_odom_correct + laser.scan_time wires LaserDataProcessor parity
+    into ingest; the corrected run must still track ground truth."""
+    import dataclasses
+    cfg = _small_config().replace(use_odom_correct=True)
+    log = icra_log
+    laser = dataclasses.replace(log.laser, scan_time=0.025)
+    eng = SlamEngine(cfg, laser)
+    n = len(log) // 2
+    for i in range(n):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng.finish()
+    assert eng.diag.scans_processed > 20
+    est, gt = match_by_time(eng.trajectory_array(), log.gt_poses, log.times)
+    assert ate_rmse(est, gt) < 0.15

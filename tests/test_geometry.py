@@ -63,3 +63,25 @@ def test_pose_change_enough():
     assert not bool(geo.pose_change_enough(p1, jnp.array([0.01, 0.0, 0.0]), 0.1, 0.1))
     assert bool(geo.pose_change_enough(p1, jnp.array([0.2, 0.0, 0.0]), 0.1, 0.1))
     assert bool(geo.pose_change_enough(p1, jnp.array([0.0, 0.0, 0.2]), 0.1, 0.1))
+
+
+def test_bound_box():
+    import numpy as np
+    from roborts_slam_tpu.utils.geometry import (
+        bound_box_contains, bound_box_union, points_bound_box)
+
+    pts = jnp.asarray(np.array([[1.0, 2.0], [-1.0, 0.5], [3.0, -2.0],
+                                [99.0, 99.0]], np.float32))
+    mask = jnp.asarray(np.array([True, True, True, False]))
+    mn, mx = points_bound_box(pts, mask)
+    np.testing.assert_allclose(np.asarray(mn), [-1.0, -2.0])
+    np.testing.assert_allclose(np.asarray(mx), [3.0, 2.0])
+    assert bool(bound_box_contains(mn, mx, jnp.asarray([0.0, 0.0])))
+    assert not bool(bound_box_contains(mn, mx, jnp.asarray([5.0, 0.0])))
+    mn2, mx2 = bound_box_union(mn, mx, jnp.asarray([-4.0, 0.0]),
+                               jnp.asarray([0.0, 9.0]))
+    np.testing.assert_allclose(np.asarray(mn2), [-4.0, -2.0])
+    np.testing.assert_allclose(np.asarray(mx2), [3.0, 9.0])
+    # empty mask -> inverted box
+    mn3, mx3 = points_bound_box(pts, jnp.zeros(4, bool))
+    assert float(mn3[0]) > float(mx3[0])
