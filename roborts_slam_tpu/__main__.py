@@ -61,7 +61,8 @@ def _cmd_run(args) -> int:
     if args.render:
         from .utils.viz import render_run
 
-        render_run(engine, args.render, gt_poses=log.gt_poses)
+        render_run(engine, args.render,
+                   gt_poses=log.gt_poses if log is not None else None)
     if args.checkpoint:
         from .io.checkpoint import save_checkpoint
 
@@ -91,9 +92,14 @@ def _cmd_bench(args) -> int:
     import importlib.util
     import os
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    if not os.path.exists(path):
+        print("bench.py requires a source checkout (it lives at the repo "
+              "root next to native/, outside the installed package)",
+              file=sys.stderr)
+        return 1
+    spec = importlib.util.spec_from_file_location("bench", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main()

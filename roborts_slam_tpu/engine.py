@@ -136,6 +136,14 @@ class ScanStore:
         poses = self.poses_array().astype(np.float32)
         return jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(poses)
 
+    def running_range_arrays(self, pad_k: int | None = None):
+        """Padded arrays of the running-range window scans, the input shape
+        the chain matchers take. The reference defines the windowed-match
+        path but ships it disabled (kUseRunningRangeScanMatch = false,
+        slam_processor.h:265); this accessor is the enabled equivalent."""
+        ids = self.running_ids
+        return self.gather_chain(ids, pad_k or self.running_range_max_scans)
+
     def pub_map_arrays(self):
         return self._pub_arrays
 
@@ -168,7 +176,10 @@ class SlamEngine:
         self.bspec = BackendSpec.from_config(config, laser.range_max,
                                              self.fspec.pub_spec)
         self.state: FrontendState = init_frontend_state(self.fspec)
-        self.store = ScanStore(config.max_points)
+        self.store = ScanStore(
+            config.max_points,
+            running_range_max_scans=config.running_range_size,
+            running_range_max_distance=config.running_range_max_distance)
         self.backend = Backend(self.bspec, self.store)
         self.backend.on_corrections = self._apply_corrections
         self.synchronous_backend = synchronous_backend
@@ -221,6 +232,13 @@ class SlamEngine:
         self._odom_history.append((t, np.asarray(odom, np.float64).copy()))
         if len(self._odom_history) > 64:
             self._odom_history.pop(0)
+        # move gate BEFORE any conversion work — rejected scans must cost
+        # nothing on the ingest path (MoveEnough runs first in the
+        # reference too, slam_processor.cpp:92)
+        self.diag.scans_in += 1
+        if not self._move_enough(odom, t):
+            self.diag.scans_dropped_move += 1
+            return False
         if (self.config.use_odom_correct and self.laser.scan_time > 0
                 and len(self._odom_history) >= 2):
             points, mask, n_valid = self._dedistorted_points(ranges, t)
@@ -229,13 +247,14 @@ class SlamEngine:
                                     self.config.max_points)
             points, mask = scan.points, scan.mask
             n_valid = int(np.sum(np.asarray(scan.mask)))
-        return self.process_points(points, mask, n_valid, odom, t)
+        return self._process_gated(points, mask, n_valid, odom, t)
 
     def _dedistorted_points(self, ranges: np.ndarray, t: float):
         """Odometry-based sweep de-distortion (LaserDataProcessor,
         laser_data_processor.cpp:43-314) on the ingest path: re-project each
-        beam into the sweep-start frame using the recent odometry history,
-        then gate and front-pack like scan_from_ranges."""
+        beam into the sweep-END frame (scans are stamped, and odometry
+        paired, at time ``t`` = end of sweep), then gate and front-pack like
+        scan_from_ranges."""
         from .io.dedistort import dedistort_scan
 
         ranges = np.asarray(ranges, np.float32)
@@ -245,7 +264,7 @@ class SlamEngine:
         ot = np.array([h[0] for h in self._odom_history])
         op = np.stack([h[1] for h in self._odom_history])
         pts = dedistort_scan(gated, self.laser, t - self.laser.scan_time,
-                             self.laser.scan_time, ot, op)
+                             self.laser.scan_time, ot, op, reference="end")
         valid = ~np.isnan(pts[:, 0])
         n = int(valid.sum())
         mp = self.config.max_points
@@ -265,6 +284,12 @@ class SlamEngine:
         if not self._move_enough(odom, t):
             self.diag.scans_dropped_move += 1
             return False
+        return self._process_gated(points, mask, n_valid, odom, t)
+
+    def _process_gated(self, points, mask, n_valid: int, odom: np.ndarray,
+                       t: float) -> bool:
+        """Run the front-end step on an already-gated, already-converted
+        scan (both ingest paths funnel here)."""
         self._last_process_time = t
 
         scan = _PreparedScan(jnp.asarray(points), jnp.asarray(mask))
@@ -299,6 +324,7 @@ class SlamEngine:
             self._pending_backend.append((scan_id, cov))
             self.process_backend()
         else:
+            self._ensure_backend_thread()
             self._backend_queue.put((scan_id, cov))
         return True
 
@@ -372,12 +398,22 @@ class SlamEngine:
             if stop:
                 return
 
+    def _ensure_backend_thread(self):
+        """(Re)start the worker — finish() joins it, but the engine stays
+        usable afterwards (the next async process() revives it)."""
+        if self._backend_thread is None or not self._backend_thread.is_alive():
+            self._backend_thread = threading.Thread(
+                target=self._backend_worker, daemon=True)
+            self._backend_thread.start()
+
     def finish(self):
-        """Flush the async back end (no-op in synchronous mode)."""
-        if self._backend_thread is not None:
+        """Flush pending back-end work and join the worker (no-op in
+        synchronous mode). NOT terminal: further process() calls restart
+        the worker automatically."""
+        if self._backend_thread is not None and self._backend_thread.is_alive():
             self._backend_queue.put(None)
             self._backend_thread.join()
-            self._backend_thread = None
+        self._backend_thread = None
 
     # ---- corrections (CorrectPoseAndMap, slam_processor.cpp:329-370) ----
 

@@ -37,7 +37,11 @@ def save_checkpoint(engine, path: str) -> None:
         laser_params=np.array([
             laser.angle_min, laser.angle_max, laser.range_min,
             laser.range_max, laser.num_beams, laser.range_threshold_scale,
+            laser.scan_time,
         ]),
+        odom_history_t=np.array([h[0] for h in engine._odom_history]),
+        odom_history_p=(np.stack([h[1] for h in engine._odom_history])
+                        if engine._odom_history else np.zeros((0, 3))),
         world_size=np.float64(engine.world_size),
         # scan store
         store_points=np.stack(st._points) if n else np.zeros((0, st.max_points, 2), np.float32),
@@ -91,7 +95,8 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
     lp = z["laser_params"]
     laser = LaserModel(angle_min=float(lp[0]), angle_max=float(lp[1]),
                        range_min=float(lp[2]), range_max=float(lp[3]),
-                       num_beams=int(lp[4]), range_threshold_scale=float(lp[5]))
+                       num_beams=int(lp[4]), range_threshold_scale=float(lp[5]),
+                       scan_time=float(lp[6]) if len(lp) > 6 else 0.0)
     engine = SlamEngine(cfg, laser, world_size=float(z["world_size"]),
                         synchronous_backend=synchronous_backend)
 
@@ -138,6 +143,10 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
         engine.trajectory.append((float(row[0]), row[1:4].astype(np.float64)))
     lko = z["last_kept_odom"]
     engine._last_kept_odom = None if np.isnan(lko).any() else lko
+    if "odom_history_t" in z:
+        engine._odom_history = [
+            (float(z["odom_history_t"][i]), z["odom_history_p"][i])
+            for i in range(z["odom_history_t"].shape[0])]
     lpt = float(z["last_process_time"])
     engine._last_process_time = None if np.isnan(lpt) else lpt
     d = z["diag"]

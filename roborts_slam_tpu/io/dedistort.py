@@ -27,17 +27,21 @@ def interpolate_poses(times: np.ndarray, odom_times: np.ndarray,
 
 def dedistort_scan(ranges: np.ndarray, laser: LaserModel,
                    scan_start_time: float, sweep_duration: float,
-                   odom_times: np.ndarray, odom_poses: np.ndarray) -> np.ndarray:
-    """Re-project every beam into the sweep-start lidar frame.
+                   odom_times: np.ndarray, odom_poses: np.ndarray,
+                   reference: str = "start") -> np.ndarray:
+    """Re-project every beam into one common lidar frame.
 
-    Returns corrected (B,) ranges' cartesian points expressed at the frame
-    start... specifically (B, 2) points in the frame-start sensor frame;
-    invalid beams (<= range_min or >= range_max) yield NaN.
+    ``reference`` selects the frame: "start" (sweep start, the reference's
+    convention) or "end" (sweep end — use when the scan is timestamped, and
+    odometry paired, at the END of the sweep; keeps corrected points
+    consistent with the pose associated with the stamp). Returns (B, 2)
+    points in that sensor frame; invalid beams (<= range_min or
+    >= range_max) yield NaN.
     """
     B = laser.num_beams
     beam_times = scan_start_time + np.linspace(0.0, sweep_duration, B)
     poses = interpolate_poses(beam_times, odom_times, odom_poses)   # (B,3)
-    p0 = poses[0]
+    p0 = poses[0] if reference == "start" else poses[-1]
 
     angles = laser.angles
     valid = (ranges > laser.range_min) & (ranges < laser.range_max)

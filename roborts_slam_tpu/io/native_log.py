@@ -46,6 +46,10 @@ def write_rslg(log: ScanLog, path: str) -> None:
 
 
 def _build_native() -> str | None:
+    if not os.path.exists(_SRC):
+        # pip-installed package without the repo's native/ tree: the NumPy
+        # ingest path (ScanLog/.npz) still works; .rslg streaming does not
+        return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) > os.path.getmtime(_SRC):
         return _SO
     try:

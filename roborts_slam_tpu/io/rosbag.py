@@ -166,11 +166,20 @@ def bag_to_scan_log(path: str, scan_topic: str | None = None,
         range_min=float(first["range_min"]),
         range_max=float(first["range_max"]), num_beams=beams,
         range_threshold_scale=range_threshold_scale,
+        scan_time=float(first["scan_time"]),   # enables sweep de-distortion
     )
     times = np.array([s["time"] for s in scans])
-    ranges = np.stack([
-        np.resize(s["ranges"], beams) for s in scans
-    ]).astype(np.float32)
+
+    def fixed_width(r):
+        """Short scans (driver dropouts) pad with an invalid range — never
+        np.resize, which cycles real returns into phantom bearings."""
+        if len(r) == beams:
+            return r
+        out = np.full(beams, laser.range_max + 1.0, r.dtype)
+        out[: min(len(r), beams)] = r[:beams]
+        return out
+
+    ranges = np.stack([fixed_width(s["ranges"]) for s in scans]).astype(np.float32)
 
     if odoms:
         ot = np.array([o["time"] for o in odoms])

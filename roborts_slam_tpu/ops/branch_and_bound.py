@@ -20,8 +20,12 @@ The TPU build keeps the search structure but fixes both problems:
   under ``jit``; at every depth the top ``beam_width`` candidates survive
   (lax.top_k) and ALL of their 2x2 children are scored in one batched
   gather. With admissible bounds the optimum's ancestors rank above any
-  candidate whose bound is below the true best, so the beam retains them
-  (tests assert equality with exhaustive dense scoring).
+  candidate whose bound is below the true best; the search is therefore
+  EXACT whenever fewer than ``beam_width`` candidates bound above the true
+  best at every depth (tests assert equality with exhaustive dense scoring
+  on such cases). In highly repetitive environments (long corridors) more
+  ties can exist than the beam holds — raise ``beam_width`` (cost is one
+  larger batched gather per level) or fall back to the dense tiers.
 """
 
 from __future__ import annotations

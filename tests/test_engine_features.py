@@ -101,3 +101,22 @@ def test_engine_dedistortion_path(icra_log):
     assert eng.diag.scans_processed > 20
     est, gt = match_by_time(eng.trajectory_array(), log.gt_poses, log.times)
     assert ate_rmse(est, gt) < 0.15
+
+
+def test_async_backend_survives_finish(icra_log):
+    """finish() must not be terminal: run_log flushes via finish(), and a
+    second run on the same engine must still drive the back end."""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=False)
+    third = len(log) // 3
+    for i in range(third):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng.finish()
+    links_before = eng.backend.num_links
+    assert links_before > 0
+    for i in range(third, 2 * third):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng.finish()
+    assert eng.backend.num_links > links_before, (
+        "backend thread did not restart after finish()")
