@@ -60,3 +60,39 @@ def test_small_scan_fewer_than_2x_use_points():
     s_pal, *_ = score_candidates_pallas(spec, params, probs, jnp.zeros(2),
                                         pts, mask, 30, center, interpret=True)
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pal), atol=5e-3)
+
+
+def test_randomized_config_sweep():
+    """Property test: pallas == XLA scoring across randomized tier
+    geometries (step sizes, window sizes, angle grids, scan sizes, map
+    offsets) — the parity net for future kernel changes."""
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        res = float(rng.choice([0.01, 0.02, 0.025, 0.05]))
+        st = int(rng.choice([1, 2, 4, 5]))
+        n_sp = int(rng.integers(2, 8))
+        params = CorrelativeParams(
+            search_space_size=st * res * n_sp,
+            search_space_resolution=st * res,
+            search_angle_offset=float(rng.uniform(0.03, 0.3)),
+            search_angle_resolution=float(rng.uniform(0.01, 0.05)),
+            response_threshold=0.6,
+            use_point_size=int(rng.choice([20, 40, 100])),
+            use_center_penalty=True,
+            tier=int(rng.choice([COARSE, FINE, SUPER])),
+        )
+        n_points = int(rng.integers(15, 120))
+        spec, probs, pts, mask, n, center = _setup(
+            seed=100 + trial, n_points=n_points, res=res)
+        center = jnp.asarray(np.array(
+            [512.0 + rng.uniform(-40, 40), 512.0 + rng.uniform(-40, 40),
+             rng.uniform(-3, 3)], np.float32))
+        s_ref, a_ref, *_ = score_candidates(
+            spec, params, probs, jnp.zeros(2), pts, mask, n_points, center)
+        s_pal, a_pal, *_ = score_candidates_pallas(
+            spec, params, probs, jnp.zeros(2), pts, mask, n_points, center,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a_pal),
+                                   atol=1e-6, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pal),
+                                   atol=6e-3, err_msg=f"trial {trial}")
