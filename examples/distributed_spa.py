@@ -38,41 +38,13 @@ def main():
     from roborts_slam_tpu.backend.spa import solve_pose_graph
     from roborts_slam_tpu.parallel.dist_spa import solve_pose_graph_sharded
     from roborts_slam_tpu.parallel.mesh import make_mesh
+    from roborts_slam_tpu.parallel.multihost import make_synthetic_loop_graph
 
     n_dev = min(args.devices, len(jax.devices()))
     print(f"devices: {len(jax.devices())} ({jax.default_backend()}), using {n_dev}")
 
-    rng = np.random.default_rng(0)
-    import jax.numpy as jnp
     n = args.nodes
-    theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    gt = np.stack([10 * np.cos(theta), 10 * np.sin(theta), theta + np.pi / 2], -1)
-    noisy = gt + rng.normal(0, 0.05, gt.shape)
-    noisy[0] = gt[0]
-    eij = [(i, (i + 1) % n) for i in range(n)]
-    for _ in range(n // 4):
-        i, j = sorted(rng.integers(0, n, 2))
-        if j - i > 2:
-            eij.append((i, j))
-    eij = np.array(eij, np.int64)
-
-    def rel(a, b):
-        d = b - a
-        c, s = np.cos(a[2]), np.sin(a[2])
-        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
-                         np.arctan2(np.sin(d[2]), np.cos(d[2]))])
-
-    erel = np.stack([rel(gt[i], gt[j]) for i, j in eij])
-    from roborts_slam_tpu.backend.spa import PoseGraphData
-    data = PoseGraphData(
-        poses=jnp.asarray(noisy, jnp.float32),
-        node_mask=jnp.ones(n, bool),
-        edge_ij=jnp.asarray(eij, jnp.int32),
-        edge_rel=jnp.asarray(erel, jnp.float32),
-        edge_info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 20.0,
-                                   (eij.shape[0], 3, 3)),
-        edge_mask=jnp.ones(eij.shape[0], bool),
-    )
+    data = make_synthetic_loop_graph(n)
 
     t0 = time.perf_counter()
     p1, c1, i1 = solve_pose_graph(data)

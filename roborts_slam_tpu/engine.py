@@ -28,14 +28,7 @@ from .frontend.processor import (
 from .models.scan import LaserModel, scan_from_ranges
 from .ops.raster import rebuild_count_map, stamp_scan_batch
 from .models.grid_map import CountMap, ProbMap, count_map_states
-
-
-class _PreparedScan:
-    __slots__ = ("points", "mask")
-
-    def __init__(self, points, mask):
-        self.points = points
-        self.mask = mask
+from .utils.profiling import StageTimers
 
 
 class ScanStore:
@@ -184,8 +177,8 @@ class SlamEngine:
         self.backend.on_corrections = self._apply_corrections
         self.synchronous_backend = synchronous_backend
         self.diag = EngineDiagnostics()
-        from .utils.profiling import StageTimers
         self.timers = StageTimers()
+        self._bounds_warned = False
         self.trajectory: list[tuple[float, np.ndarray]] = []  # (t, pose) per processed scan
         self._last_kept_odom: np.ndarray | None = None
         self._last_process_time: float | None = None
@@ -199,13 +192,11 @@ class SlamEngine:
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
-        self._backend_queue: _queue.SimpleQueue | None = None
+        self._backend_queue = (_queue.SimpleQueue()
+                               if not synchronous_backend else None)
+        # worker spawns lazily on the first enqueued scan
+        # (_ensure_backend_thread), and revives after finish()
         self._backend_thread: threading.Thread | None = None
-        if not synchronous_backend:
-            self._backend_queue = _queue.SimpleQueue()
-            self._backend_thread = threading.Thread(
-                target=self._backend_worker, daemon=True)
-            self._backend_thread.start()
 
     # ---- gates (MoveEnough, slam_processor.cpp:604-616) ----
 
@@ -235,9 +226,7 @@ class SlamEngine:
         # move gate BEFORE any conversion work — rejected scans must cost
         # nothing on the ingest path (MoveEnough runs first in the
         # reference too, slam_processor.cpp:92)
-        self.diag.scans_in += 1
-        if not self._move_enough(odom, t):
-            self.diag.scans_dropped_move += 1
+        if not self._pass_move_gate(odom, t):
             return False
         if (self.config.use_odom_correct and self.laser.scan_time > 0
                 and len(self._odom_history) >= 2):
@@ -265,26 +254,24 @@ class SlamEngine:
         op = np.stack([h[1] for h in self._odom_history])
         pts = dedistort_scan(gated, self.laser, t - self.laser.scan_time,
                              self.laser.scan_time, ot, op, reference="end")
-        valid = ~np.isnan(pts[:, 0])
-        n = int(valid.sum())
-        mp = self.config.max_points
-        if n > mp:
-            raise ValueError(f"{n} valid points > max_points={mp}")
-        points = np.zeros((mp, 2), np.float32)
-        points[:n] = pts[valid]
-        mask = np.zeros(mp, bool)
-        mask[:n] = True
-        return points, mask, n
+        from .models.scan import pack_points
+
+        return pack_points(pts[~np.isnan(pts[:, 0])], self.config.max_points)
 
     def process_points(self, points, mask, n_valid: int, odom: np.ndarray,
                        t: float) -> bool:
         """Feed one pre-converted scan (sensor-local cartesian points,
         front-packed mask) — the native RSLG stream's ingest path."""
-        self.diag.scans_in += 1
-        if not self._move_enough(odom, t):
-            self.diag.scans_dropped_move += 1
+        if not self._pass_move_gate(odom, t):
             return False
         return self._process_gated(points, mask, n_valid, odom, t)
+
+    def _pass_move_gate(self, odom: np.ndarray, t: float) -> bool:
+        self.diag.scans_in += 1
+        if self._move_enough(odom, t):
+            return True
+        self.diag.scans_dropped_move += 1
+        return False
 
     def _process_gated(self, points, mask, n_valid: int, odom: np.ndarray,
                        t: float) -> bool:
@@ -292,14 +279,14 @@ class SlamEngine:
         scan (both ingest paths funnel here)."""
         self._last_process_time = t
 
-        scan = _PreparedScan(jnp.asarray(points), jnp.asarray(mask))
+        points, mask = jnp.asarray(points), jnp.asarray(mask)
         last_odom = (self._last_kept_odom if self._last_kept_odom is not None
                      else odom)
 
         t0 = _time.perf_counter()
         with self._state_lock, self.timers.stage("frontend_step"):
             self.state, info = self._step(
-                self.fspec, self.state, scan.points, scan.mask,
+                self.fspec, self.state, points, mask,
                 jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                 jnp.asarray(odom, jnp.float32))
         accepted = bool(info.map_updated)   # forces the dispatch to complete
@@ -313,7 +300,7 @@ class SlamEngine:
         self.diag.scans_processed += 1
         self._check_world_bounds(pose)
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
-        scan_id = self.store.add(np.asarray(scan.points), np.asarray(scan.mask),
+        scan_id = self.store.add(np.asarray(points), np.asarray(mask),
                                  n_valid, pose, odom, t)
         self.trajectory.append((t, pose))
         self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
@@ -350,7 +337,7 @@ class SlamEngine:
         grid_map_base.h:257-274); the TPU build preallocates the world extent
         for static shapes, so warn loudly (once) when the trajectory nears
         the edge — the fix is a larger ``world_size``."""
-        if getattr(self, "_bounds_warned", False):
+        if self._bounds_warned:
             return
         off = np.asarray(self.state.pub.offset)
         res = self.fspec.pub_spec.resolution

@@ -34,11 +34,7 @@ def save_checkpoint(engine, path: str) -> None:
     edges = engine.backend.graph.edges
     data = dict(
         config_json=np.frombuffer(cfg_json.encode(), np.uint8),
-        laser_params=np.array([
-            laser.angle_min, laser.angle_max, laser.range_min,
-            laser.range_max, laser.num_beams, laser.range_threshold_scale,
-            laser.scan_time,
-        ]),
+        laser_params=laser.to_array(),
         odom_history_t=np.array([h[0] for h in engine._odom_history]),
         odom_history_p=(np.stack([h[1] for h in engine._odom_history])
                         if engine._odom_history else np.zeros((0, 3))),
@@ -92,11 +88,7 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
 
     z = np.load(path)
     cfg = SlamConfig(**json.loads(bytes(z["config_json"]).decode()))
-    lp = z["laser_params"]
-    laser = LaserModel(angle_min=float(lp[0]), angle_max=float(lp[1]),
-                       range_min=float(lp[2]), range_max=float(lp[3]),
-                       num_beams=int(lp[4]), range_threshold_scale=float(lp[5]),
-                       scan_time=float(lp[6]) if len(lp) > 6 else 0.0)
+    laser = LaserModel.from_array(z["laser_params"])
     engine = SlamEngine(cfg, laser, world_size=float(z["world_size"]),
                         synchronous_backend=synchronous_backend)
 

@@ -30,28 +30,19 @@ class ScanLog:
         return self.ranges.shape[0]
 
     def save(self, path: str) -> None:
-        laser = self.laser
         np.savez_compressed(
             path,
             ranges=self.ranges.astype(np.float32),
             odom=self.odom,
             times=self.times,
             gt_poses=self.gt_poses if self.gt_poses is not None else np.zeros((0, 3)),
-            laser_params=np.array([
-                laser.angle_min, laser.angle_max, laser.range_min,
-                laser.range_max, laser.num_beams, laser.range_threshold_scale,
-            ]),
+            laser_params=self.laser.to_array(),
         )
 
     @staticmethod
     def load(path: str) -> "ScanLog":
         z = np.load(path)
-        lp = z["laser_params"]
-        laser = LaserModel(
-            angle_min=float(lp[0]), angle_max=float(lp[1]),
-            range_min=float(lp[2]), range_max=float(lp[3]),
-            num_beams=int(lp[4]), range_threshold_scale=float(lp[5]),
-        )
+        laser = LaserModel.from_array(z["laser_params"])
         gt = z["gt_poses"]
         return ScanLog(
             ranges=z["ranges"], odom=z["odom"], times=z["times"],

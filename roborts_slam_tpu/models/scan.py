@@ -49,6 +49,22 @@ class LaserModel:
     def angles(self) -> np.ndarray:
         return np.linspace(self.angle_min, self.angle_max, self.num_beams)
 
+    def to_array(self) -> np.ndarray:
+        """Flat serialization used by .npz logs and checkpoints."""
+        return np.array([self.angle_min, self.angle_max, self.range_min,
+                         self.range_max, self.num_beams,
+                         self.range_threshold_scale, self.scan_time])
+
+    @staticmethod
+    def from_array(a: np.ndarray) -> "LaserModel":
+        return LaserModel(
+            angle_min=float(a[0]), angle_max=float(a[1]),
+            range_min=float(a[2]), range_max=float(a[3]),
+            num_beams=int(a[4]), range_threshold_scale=float(a[5]),
+            # older serializations predate the scan_time field
+            scan_time=float(a[6]) if len(a) > 6 else 0.0,
+        )
+
 
 class Scan(NamedTuple):
     """One laser scan with a fixed-shape masked point set.
@@ -71,6 +87,19 @@ class Scan(NamedTuple):
         return jnp.sum(self.mask.astype(jnp.int32))
 
 
+def pack_points(pts: np.ndarray, max_points: int):
+    """Front-pack a (N, 2) valid-point array into fixed-shape
+    (points (max_points, 2), mask (max_points,), n)."""
+    n = pts.shape[0]
+    if n > max_points:
+        raise ValueError(f"scan has {n} valid points > max_points={max_points}")
+    points = np.zeros((max_points, 2), dtype=np.float32)
+    points[:n] = pts
+    mask = np.zeros((max_points,), dtype=bool)
+    mask[:n] = True
+    return points, mask, n
+
+
 def scan_from_ranges(
     ranges: np.ndarray,
     laser: LaserModel,
@@ -91,13 +120,7 @@ def scan_from_ranges(
     r = ranges[valid]
     a = angles[valid]
     pts = np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
-    n = pts.shape[0]
-    if n > max_points:
-        raise ValueError(f"scan has {n} valid points > max_points={max_points}")
-    points = np.zeros((max_points, 2), dtype=np.float32)
-    points[:n] = pts
-    mask = np.zeros((max_points,), dtype=bool)
-    mask[:n] = True
+    points, mask, n = pack_points(pts, max_points)
     if pose is None:
         pose = odom_pose
     return Scan(

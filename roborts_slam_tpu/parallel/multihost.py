@@ -91,23 +91,24 @@ def scaling_run(work_fn, sizes: list[int], reps: int = 3) -> list[ScalingPoint]:
     return points
 
 
-def spa_scaling_workload(n_nodes: int = 512, seed: int = 0,
-                         max_iters: int = 10, cg_iters: int = 25):
-    """Returns work_fn for scaling_run: a fixed loop pose graph solved with
-    edges sharded over the mesh axis (the distributed-SPA benchmark)."""
-    from ..backend.spa import PoseGraphData
+def make_synthetic_loop_graph(n_nodes: int, noise: float = 0.05,
+                              loop_frac: float = 0.25, radius: float = 10.0,
+                              seed: int = 0):
+    """Noisy circular pose graph (odometry chain + random loop edges) with
+    exact relative-pose constraints — the standard distributed-SPA
+    benchmark/demo workload. Returns a PoseGraphData."""
     import jax.numpy as jnp
+
+    from ..backend.spa import PoseGraphData
 
     rng = np.random.default_rng(seed)
     theta = np.linspace(0, 2 * np.pi, n_nodes, endpoint=False)
-    r = 10.0
-    gt = np.stack([r * np.cos(theta), r * np.sin(theta),
+    gt = np.stack([radius * np.cos(theta), radius * np.sin(theta),
                    theta + np.pi / 2], -1)
-    noisy = gt + rng.normal(0, 0.05, gt.shape)
+    noisy = gt + rng.normal(0, noise, gt.shape)
     noisy[0] = gt[0]
-    # odometry chain + 25% random loop edges
     eij = [(i, (i + 1) % n_nodes) for i in range(n_nodes)]
-    for _ in range(n_nodes // 4):
+    for _ in range(int(n_nodes * loop_frac)):
         i, j = sorted(rng.integers(0, n_nodes, 2))
         if j - i > 2:
             eij.append((i, j))
@@ -120,7 +121,7 @@ def spa_scaling_workload(n_nodes: int = 512, seed: int = 0,
                          np.arctan2(np.sin(d[2]), np.cos(d[2]))])
 
     erel = np.stack([rel(gt[i], gt[j]) for i, j in eij])
-    data = PoseGraphData(
+    return PoseGraphData(
         poses=jnp.asarray(noisy, jnp.float32),
         node_mask=jnp.ones(n_nodes, bool),
         edge_ij=jnp.asarray(eij, jnp.int32),
@@ -129,6 +130,13 @@ def spa_scaling_workload(n_nodes: int = 512, seed: int = 0,
             jnp.eye(3, dtype=jnp.float32) * 20.0, (eij.shape[0], 3, 3)),
         edge_mask=jnp.ones(eij.shape[0], bool),
     )
+
+
+def spa_scaling_workload(n_nodes: int = 512, seed: int = 0,
+                         max_iters: int = 10, cg_iters: int = 25):
+    """Returns work_fn for scaling_run: a fixed loop pose graph solved with
+    edges sharded over the mesh axis (the distributed-SPA benchmark)."""
+    data = make_synthetic_loop_graph(n_nodes, seed=seed)
 
     def work_fn(mesh):
         p, c, it = solve_pose_graph_sharded(data, mesh, axis=mesh.axis_names[0],
