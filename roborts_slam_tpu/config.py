@@ -130,6 +130,10 @@ class SlamConfig:
     max_points: int = 1152           # padded beam count per scan (>= 1081 willow)
     max_chain_scans: int = 16        # padded scans per back-end chain map
     world_size: float = 0.0          # preallocated world extent (m); 0 = derive
+    # scan-match map window (m); 0 = size to the world like the reference.
+    # >0 keeps fine/coarse match maps as a fixed window recentered to follow
+    # the robot (removes the fixed-world matching limit; pub map stays global)
+    match_map_window: float = 0.0
     compute_dtype: str = "float32"
 
     def derived_world_size(self, range_max: float) -> float:

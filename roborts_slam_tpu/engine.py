@@ -298,7 +298,10 @@ class SlamEngine:
             return False
 
         self.diag.scans_processed += 1
-        self._check_world_bounds(pose)
+        if self.config.match_map_window > 0:
+            self._maybe_recenter(pose)
+        else:
+            self._check_world_bounds(pose)
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
         scan_id = self.store.add(np.asarray(points), np.asarray(mask),
                                  n_valid, pose, odom, t)
@@ -353,6 +356,46 @@ class SlamEngine:
                 f"world edge (extent {extent}); scans will clip — increase "
                 f"world_size", RuntimeWarning, stacklevel=3)
             self._bounds_warned = True
+
+    def _shift_granule(self) -> float:
+        """Smallest shift (m) that is an integer cell count in BOTH
+        scan-match maps, so one world-space recenter keeps both lattices.
+        lcm(a/b, c/d) = lcm(a·d, c·b) / (b·d)."""
+        import math
+        from fractions import Fraction
+
+        f = Fraction(str(self.config.fine_map_resolution))
+        c = Fraction(str(self.config.coarse_map_resolution))
+        num = math.lcm(f.numerator * c.denominator, c.numerator * f.denominator)
+        return num / (f.denominator * c.denominator)
+
+    def _maybe_recenter(self, pose: np.ndarray):
+        """Rolling-window scan-match maps (config.match_map_window): when
+        the pose drifts beyond a quarter window from the window center,
+        shift the fine+coarse maps to re-center it. The pub map keeps the
+        global extent (it is the published product); the reference instead
+        grew all maps dynamically (grid_map_base.h:188-274)."""
+        fs = self.fspec.fine_spec
+        extent = np.array([fs.width, fs.height]) * fs.resolution
+        off = np.asarray(self.state.fine.offset)
+        center_w = extent * 0.5 - off
+        delta = np.asarray(pose[:2]) - center_w
+        window = min(float(extent[0]), float(extent[1]))
+        if np.max(np.abs(delta)) <= 0.25 * window:
+            return
+        g = self._shift_granule()
+        shift_m = np.round(delta / g) * g                    # (dx, dy) meters
+        from .models.grid_map import shift_prob_map
+
+        cs = self.fspec.coarse_spec
+        with self._state_lock:
+            fine = shift_prob_map(fs, self.state.fine, (
+                int(round(shift_m[1] / fs.resolution)),
+                int(round(shift_m[0] / fs.resolution))))
+            coarse = shift_prob_map(cs, self.state.coarse, (
+                int(round(shift_m[1] / cs.resolution)),
+                int(round(shift_m[0] / cs.resolution))))
+            self.state = self.state._replace(fine=fine, coarse=coarse)
 
     # ---- async pipeline (the reference's back-end thread) ----
 

@@ -73,18 +73,22 @@ class StepInfo(NamedTuple):
 def init_frontend_state(spec: FrontendSpec) -> FrontendState:
     """Maps centered on the start pose, reference map-offset convention
     (CreateAllMap, slam_processor.cpp:468-471: offset = init_map_size *
-    map_offset_{x,y}, i.e. world origin at the map center)."""
+    map_offset_{x,y}, i.e. world origin at the map center). Offsets derive
+    from each map's own extent, so windowed scan-match maps
+    (config.match_map_window) start centered too."""
     from ..models.grid_map import make_count_map, make_prob_map
 
-    ws = spec.world_size()
     cfg = spec.config
     # distinct offset buffers per map: buffer donation forbids aliased inputs
-    off = lambda: jnp.array([ws * cfg.map_offset_x, ws * cfg.map_offset_y],
-                            jnp.float32)
+    def off(mspec):
+        ex = mspec.width * mspec.resolution
+        ey = mspec.height * mspec.resolution
+        return jnp.array([ex * cfg.map_offset_x, ey * cfg.map_offset_y],
+                         jnp.float32)
     return FrontendState(
-        pub=make_count_map(spec.pub_spec, off()),
-        coarse=make_prob_map(spec.coarse_spec, off()),
-        fine=make_prob_map(spec.fine_spec, off()),
+        pub=make_count_map(spec.pub_spec, off(spec.pub_spec)),
+        coarse=make_prob_map(spec.coarse_spec, off(spec.coarse_spec)),
+        fine=make_prob_map(spec.fine_spec, off(spec.fine_spec)),
         pose=jnp.zeros(3, jnp.float32),
         last_map_update_pose=jnp.full((3,), 3.4e38, jnp.float32),
         map_penalize_times=jnp.int32(0),

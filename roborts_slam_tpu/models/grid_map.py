@@ -193,9 +193,35 @@ def pub_map_spec(config, laser_range_max: float, world_size: float) -> CountMapS
     )
 
 
+def shift_prob_map(spec: ProbMapSpec, pmap: ProbMap,
+                   shift_cells: tuple[int, int]) -> ProbMap:
+    """Recenter: move the map window by (sy, sx) cells. Content shifts so
+    probs_new[y, x] = probs_old[y + sy, x + sx]; exposed cells take the
+    default prob; the world↔map offset moves with the window. Host-side
+    numpy (recentering is a rare, host-decided event — traced dynamic
+    slices are pathologically slow on some backends)."""
+    sy, sx = shift_cells
+    old = np.asarray(pmap.probs)
+    new = np.full_like(old, spec.default_prob)
+    H, W = old.shape
+    ys = slice(max(sy, 0), min(H + sy, H))
+    xs = slice(max(sx, 0), min(W + sx, W))
+    yd = slice(max(-sy, 0), max(-sy, 0) + (ys.stop - ys.start))
+    xd = slice(max(-sx, 0), max(-sx, 0) + (xs.stop - xs.start))
+    if ys.stop > ys.start and xs.stop > xs.start:
+        new[yd, xd] = old[ys, xs]
+    off = np.asarray(pmap.offset) - np.array([sx, sy]) * spec.resolution
+    return ProbMap(probs=jnp.asarray(new),
+                   offset=jnp.asarray(off, jnp.float32))
+
+
 def scan_match_map_specs(config, world_size: float):
     """Front-end coarse + fine scan-match map specs (CreateAllMap,
-    slam_processor.cpp:482-510)."""
+    slam_processor.cpp:482-510). With ``match_map_window > 0`` the specs
+    cover only the rolling window (the engine recenters them; pub map keeps
+    the world extent)."""
+    if config.match_map_window > 0:
+        world_size = min(world_size, config.match_map_window)
     nc = _round_up(int(np.ceil(world_size / config.coarse_map_resolution)))
     nf = _round_up(int(np.ceil(world_size / config.fine_map_resolution)))
     coarse = ProbMapSpec(
