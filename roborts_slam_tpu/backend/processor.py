@@ -62,6 +62,22 @@ class BackendSpec:
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def chain_match_batch(spec: BackendSpec,
+                      chain_points, chain_masks, chain_poses, chain_valid,
+                      points, mask, n_valid, init_pose, center_pose,
+                      pub_hits, pub_passes, pub_offset):
+    """All candidate chains of one LinkNearChains pass matched in ONE
+    device dispatch (vmap over the leading chain dim; the current scan and
+    pub map are shared). The reference loops chains serially on one thread
+    (range_scan_pose_graph.cpp:125-164)."""
+    return jax.vmap(
+        lambda cp, cm, cpo, cv: chain_match(
+            spec, cp, cm, cpo, cv, points, mask, n_valid, init_pose,
+            center_pose, pub_hits, pub_passes, pub_offset)
+    )(chain_points, chain_masks, chain_poses, chain_valid)
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def chain_match(spec: BackendSpec,
                 chain_points, chain_masks, chain_poses, chain_valid,
                 points, mask, n_valid, init_pose, center_pose,
@@ -146,6 +162,38 @@ class Backend:
         return (np.asarray(pose, np.float64), float(score),
                 np.asarray(cov, np.float64))
 
+    _BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+    def _match_chain_batch(self, chain_id_lists: list[list[int]],
+                           scan_id: int, init_pose: np.ndarray):
+        """Match one scan against B chains in a single dispatch. B pads up
+        to a bucket size (bounded recompilation); padded slots carry empty
+        chains, whose near-default score falls below every link threshold."""
+        st = self.store
+        K = self.spec.max_chain_scans
+        B = len(chain_id_lists)
+        bucket = next(b for b in self._BATCH_BUCKETS if b >= B) \
+            if B <= self._BATCH_BUCKETS[-1] else B
+        gathered = [st.gather_chain(ids[:K], K) for ids in chain_id_lists]
+        empty = st.gather_chain([], K)
+        gathered += [empty] * (bucket - B)
+        pts = jnp.stack([g[0] for g in gathered])
+        msk = jnp.stack([g[1] for g in gathered])
+        poses = jnp.stack([g[2] for g in gathered])
+        valid = jnp.stack([g[3] for g in gathered])
+        pub = st.pub_map_arrays()
+        bpose, bscore, bcov = chain_match_batch(
+            self.spec, pts, msk, poses, valid,
+            *st.scan_arrays(scan_id),
+            jnp.asarray(init_pose, jnp.float32),
+            jnp.asarray(st.poses[scan_id], jnp.float32),
+            *pub,
+        )
+        bpose = np.asarray(bpose, np.float64)
+        bscore = np.asarray(bscore, np.float64)
+        bcov = np.asarray(bcov, np.float64)
+        return [(bpose[i], float(bscore[i]), bcov[i]) for i in range(B)]
+
     # ---- graph construction (UpdateGraph, range_scan_pose_graph.cpp:44-78) ----
 
     def update_graph(self, scan_id: int, covariance: np.ndarray):
@@ -165,16 +213,19 @@ class Backend:
             self.num_links += 1
 
     def _link_near_chains(self, scan_id: int):
-        """LinkNearChains (range_scan_pose_graph.cpp:120-167)."""
+        """LinkNearChains (range_scan_pose_graph.cpp:120-167); all eligible
+        chains are matched in one batched dispatch (vmap; shardable across
+        the data mesh axis for pod runs)."""
         cfg = self.spec.config
         bary = self.store.barycenters()
-        chains = self.graph.find_near_chains(scan_id, bary)
-        for chain in chains:
-            if len(chain) < cfg.loop_match_min_chain_size:
-                continue
-            sparse = PoseGraph.sparsify_chain(chain)
-            init = self.store.poses[scan_id].copy()
-            pose, response, cov = self._match_against_chain(sparse, scan_id, init)
+        chains = [c for c in self.graph.find_near_chains(scan_id, bary)
+                  if len(c) >= cfg.loop_match_min_chain_size]
+        if not chains:
+            return
+        init = self.store.poses[scan_id].copy()
+        results = self._match_chain_batch(
+            [PoseGraph.sparsify_chain(c) for c in chains], scan_id, init)
+        for chain, (pose, response, cov) in zip(chains, results):
             if not np.all(np.isfinite(cov)):
                 continue
             if response > cfg.link_match_min_response:
