@@ -45,6 +45,45 @@ def _window_rows(span: int) -> int:
     return max(((span + 7) // 8) * 8, 8)
 
 
+# --- row-deinterleaved slab (large-stride tiers) -------------------------
+#
+# A tier whose candidate step is st map cells only reads every st-th row of
+# each sample window: ky ∈ [0, N) rows at by + st·ky. Re-laying the slab so
+# rows congruent mod st are contiguous ("planes") makes those N rows one
+# contiguous (N, :) block — the per-sample load/rotate volume drops from
+# O(st·N) rows to O(N) rows (~5x less VPU work for the reference's coarse
+# tier, st=10). Plane m holds original rows {st·q + m}; a window base row
+# ``by`` maps to deinterleaved row (by % st)·P_h + by // st.
+
+def _deint_plane_height(st: int, n_space: int) -> int:
+    q_max = CROP // st          # window bases are clamped to [0, CROP]
+    return ((q_max + n_space + 2 + 7) // 8) * 8
+
+
+def _deint_total_rows(st: int, n_space: int) -> int:
+    rows_d = _window_rows(n_space)
+    return st * _deint_plane_height(st, n_space) + rows_d + 16
+
+
+def make_deinterleaved_slab(slab, st: int, n_space: int, default_prob: float):
+    """(SLAB_ROWS, C) slab -> (st·P_h + pad, C) row-deinterleaved slab."""
+    P_h = _deint_plane_height(st, n_space)
+    C = slab.shape[1]
+    pad_to = st * P_h
+    if pad_to >= slab.shape[0]:
+        slab_pad = jnp.pad(slab, ((0, pad_to - slab.shape[0]), (0, 0)),
+                           constant_values=jnp.bfloat16(default_prob))
+    else:
+        # rows >= st*P_h >= CROP + st*n_space are border rows no valid
+        # window reads — dropping them is safe
+        slab_pad = slab[:pad_to]
+    deint = (slab_pad.reshape(P_h, st, C).transpose(1, 0, 2)
+             .reshape(st * P_h, C))
+    tail = _deint_total_rows(st, n_space) - st * P_h
+    return jnp.pad(deint, ((0, tail), (0, 0)),
+                   constant_values=jnp.bfloat16(default_prob))
+
+
 def make_slab(probs, offset_cells_y, offset_cells_x, default_prob: float):
     """Crop the (H, W) prob map to a (SLAB_ROWS, SLAB_COLS) bf16 slab whose
     [0:CROP, 0:CROP] region is map cells starting at (oy, ox); the border is
@@ -125,10 +164,11 @@ def accumulate_windows(n_iters, codes, slab, n_samples: int, rows: int,
     A = codes.shape[0]
     kernel = functools.partial(_correlation_kernel, n_samples=n_samples,
                                rows=rows)
+    slab_rows, slab_cols = slab.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(A,),
-        in_specs=[pl.BlockSpec((SLAB_ROWS, SLAB_COLS),
+        in_specs=[pl.BlockSpec((slab_rows, slab_cols),
                                lambda a, n, codes: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, rows, 128), lambda a, n, codes: (a, 0, 0)),
@@ -182,7 +222,10 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
     assert abs(st - st_i) < 1e-6 and st_i >= 1, (
         f"pallas path requires integer candidate step, got {st}")
     span = st_i * (N - 1) + 1
-    rows = _window_rows(span)
+    # large-stride tiers read every st-th row only: use the row-deinterleaved
+    # slab so each sample loads N contiguous rows instead of the whole span
+    deint = st_i >= 3
+    rows = _window_rows(N) if deint else _window_rows(span)
 
     base_angle = center_pose_map[2]
     start_angle = base_angle - params.search_angle_offset
@@ -217,6 +260,11 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
     by = jnp.where(oob, CROP, by)
     bx = jnp.where(oob, CROP, bx)
 
+    if deint:
+        P_h = _deint_plane_height(st_i, N)
+        slab = make_deinterleaved_slab(slab, st_i, N, spec.default_prob)
+        by = (by % st_i) * P_h + by // st_i
+
     codes = by * 4096 + bx
     codes = jnp.where(svalid[None, :], codes, -1).astype(jnp.int32)
     # pad so the unrolled loop's last iteration stays in bounds
@@ -225,7 +273,10 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
 
     acc = accumulate_windows(n_iters, codes, slab, n_samples=S, rows=rows,
                              interpret=interpret)
-    lattice = acc[:, 0:span:st_i, 0:span:st_i]          # (A, N, N) [ky, kx]
+    if deint:
+        lattice = acc[:, 0:N, 0:span:st_i]              # (A, N, N) [ky, kx]
+    else:
+        lattice = acc[:, 0:span:st_i, 0:span:st_i]      # (A, N, N) [ky, kx]
     scores = jnp.swapaxes(lattice, 1, 2) / divisor       # -> (A, kx, ky)
 
     space_step = params.search_space_resolution * inv_res
