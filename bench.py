@@ -7,12 +7,14 @@ lidar beam count — against the measured single-core CPU baseline
 (native/baseline_correlative.cpp, same tiers/map/scan; the reference
 publishes no numbers, BASELINE.md).
 
-Measurement notes: the TPU tunnel in this environment has a large,
-content-independent per-dispatch overhead (tens of ms), so the match is
-benchmarked amortized — K matches chained in ONE jitted program (a
-lax.fori_loop whose carried pose feeds the next match, exactly the online
-SLAM dependency chain), batched over B independent scans (the back-end
-chain-match / loop-closure verification workload shape).
+Measurement notes: timed with the two-point K-scaling slope protocol
+(roborts_slam_tpu/bench/timing.py) — K matches chained in ONE jitted
+program (a lax.fori_loop whose carried pose feeds the next match, exactly
+the online SLAM dependency chain), batched over B independent scans (the
+back-end chain-match / loop-closure verification workload shape), result
+fetched to host, inputs perturbed per rep, slope of t(K2)-t(K1). This is
+the only protocol that survives the tunnel's dispatch pipelining and
+relay-side memoization (see timing.py for the validation).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -55,8 +57,8 @@ def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20) -> float:
     raise RuntimeError(f"unexpected baseline output: {out!r}")
 
 
-def tpu_scans_per_sec(beams: int = 1081, batch: int = 16, chain: int = 64,
-                      reps: int = 5) -> float:
+def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
+                      k_points=(16, 64), reps: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -96,33 +98,34 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16, chain: int = 64,
     points, mask = jnp.asarray(points), jnp.asarray(mask)
     n_valid = jnp.int32(beams)
 
-    def one(init):
-        out = scan_match(matcher, fine_spec, fine_probs, offset,
-                         coarse_spec, coarse_probs, coff,
-                         points, mask, n_valid, init)
-        return out.pose, out.score
+    from roborts_slam_tpu.bench.timing import k_slope
 
-    vone = jax.vmap(one)
-
-    def chained(inits):
-        def body(i, carry):
-            poses, acc = carry
-            p, s = vone(poses)
-            # feed the matched pose into the next match (the online SLAM
-            # dependency chain); epsilon keeps the loop body live
-            return (p + 1e-6 * i, acc + s.sum())
-        return jax.lax.fori_loop(0, chain, body, (inits, jnp.float32(0)))
-
-    f = jax.jit(chained)
     inits = jnp.tile(jnp.array([[0.01, 0.0, 0.0]], jnp.float32), (batch, 1))
-    jax.block_until_ready(f(inits))  # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(inits))
-        times.append(time.perf_counter() - t0)
-    per_match = float(np.min(times)) / (batch * chain)
-    return 1.0 / per_match
+
+    def make_chain(K):
+        @jax.jit
+        def chained(fp):
+            def one(init):
+                out = scan_match(matcher, fine_spec, fp, offset,
+                                 coarse_spec, coarse_probs, coff,
+                                 points, mask, n_valid, init)
+                return out.pose, out.score
+
+            def body(i, carry):
+                # feed the matched pose into the next match (the online SLAM
+                # dependency chain); epsilon keeps the loop body live
+                poses, acc = carry
+                p, s = jax.vmap(one)(poses)
+                return (p + 1e-6 * i, acc + s.sum())
+
+            out = jax.lax.fori_loop(0, K, body, (inits, jnp.float32(0)))
+            return out[1]
+
+        # the seed perturbation defeats relay-side memoization (timing.py)
+        return lambda seed: chained(fine_probs + jnp.float32(seed) * 1e-7)
+
+    per_iter = k_slope(make_chain, k_points=k_points, reps=reps)
+    return batch / per_iter
 
 
 def main():
