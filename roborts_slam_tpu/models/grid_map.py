@@ -82,6 +82,7 @@ class CountMapSpec:
     width: int
     max_ray_cells: int            # static bound on cells per carved ray
     default_prob: float = 0.5     # kDefaultCellProb (grid_map_cell.h:30)
+    carve_window: int = 0         # Pallas carve window side (0 = disabled)
 
     @property
     def inv_res(self) -> float:
@@ -188,8 +189,12 @@ def pub_map_spec(config, laser_range_max: float, world_size: float) -> CountMapS
     n = _round_up(int(np.ceil(world_size / config.map_resolution)))
     # rays are at most range_threshold long; Chebyshev cell count bound
     max_cells = int(np.ceil(laser_range_max / config.map_resolution)) + 4
+    # Pallas carve window: covers the lidar disk around the sensor (plus
+    # slack), capped at the map itself; lane/sublane-tile aligned
+    window = min(n, _round_up(2 * max_cells + 24))
     return CountMapSpec(
-        resolution=config.map_resolution, height=n, width=n, max_ray_cells=max_cells
+        resolution=config.map_resolution, height=n, width=n,
+        max_ray_cells=max_cells, carve_window=window,
     )
 
 

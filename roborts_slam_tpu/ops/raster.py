@@ -199,14 +199,16 @@ def _ray_cells(spec: CountMapSpec, start_cell, end_cells, beam_mask):
     S = spec.max_ray_cells
     delta = end_cells - start_cell[None, :]                       # (P,2) int
     nsteps = jnp.maximum(jnp.max(jnp.abs(delta), axis=-1), 1)     # (P,) chebyshev
-    t = jnp.arange(S, dtype=jnp.float32)[None, :]                 # (1,S)
-    frac = t / nsteps[:, None].astype(jnp.float32)                # (P,S)
-    pos = start_cell[None, None, :].astype(jnp.float32) + (
-        delta[:, None, :].astype(jnp.float32) * frac[:, :, None]
-    )
-    cells = jnp.floor(pos + 0.5).astype(jnp.int32)                # (P,S,2)
-    on_ray = t < nsteps[:, None].astype(jnp.float32)              # strictly before endpoint
-    is_end = t == nsteps[:, None].astype(jnp.float32)
+    t = jnp.arange(S, dtype=jnp.int32)[None, :]                   # (1,S)
+    # exact integer DDA: cell(t) = floor(start + delta*t/n + 1/2)
+    #                            = (2n*start + 2*delta*t + n) // (2n)
+    # (bit-identical to the Pallas carve kernel's per-cell predicate)
+    n2 = (2 * nsteps)[:, None, None]                              # (P,1,1)
+    num = (n2 * start_cell[None, None, :]
+           + 2 * delta[:, None, :] * t[:, :, None] + nsteps[:, None, None])
+    cells = num // n2                                             # (P,S,2)
+    on_ray = t < nsteps[:, None]                                  # strictly before endpoint
+    is_end = t == nsteps[:, None]
     valid = (on_ray | is_end) & beam_mask[:, None]
     inb = (
         (cells[..., 0] >= 0) & (cells[..., 0] < spec.width)
@@ -218,10 +220,8 @@ def _ray_cells(spec: CountMapSpec, start_cell, end_cells, beam_mask):
     return flat, markv
 
 
-def scan_mark_image(spec: CountMapSpec, offset, points, mask, pose_world):
-    """Per-scan mark image: 0 untouched, 1 free (ray pass-through),
-    2 occupied (beam endpoint). Occupied wins over free, matching the
-    update_index_ rules (occu_grid_map.h:499-529)."""
+def scan_mark_image_xla(spec: CountMapSpec, offset, points, mask, pose_world):
+    """Mark image via the scatter DDA (runs on any backend)."""
     inv_res = spec.inv_res
     pose_map = world_to_map_pose(offset, inv_res, pose_world)
     pts_map = transform_points(pose_map, points * inv_res)
@@ -233,6 +233,47 @@ def scan_mark_image(spec: CountMapSpec, offset, points, mask, pose_world):
     img = jnp.zeros((spec.height * spec.width,), jnp.int32)
     img = img.at[flat.reshape(-1)].max(markv.reshape(-1), mode="drop")
     return img.reshape(spec.height, spec.width)
+
+
+def scan_mark_image_pallas(spec: CountMapSpec, offset, points, mask,
+                           pose_world, interpret: bool = False):
+    """Mark image via the Pallas band-walk carve kernel
+    (ops/pallas/raycarve.py): cost ∝ actual ray cells instead of
+    P x max_ray_cells static scatter slots. Bit-identical to the XLA path.
+
+    The kernel rasterizes into a ``spec.carve_window``-sized window centered
+    on the sensor (clamped to the map); the window is sized to contain every
+    in-map ray cell (2*max_ray_cells + slack, see pub_map_spec), so cells
+    outside it are exactly the out-of-map cells both paths drop."""
+    from .pallas.raycarve import pack_codes, ray_mark_window
+
+    W = spec.carve_window
+    inv_res = spec.inv_res
+    pose_map = world_to_map_pose(offset, inv_res, pose_world)
+    pts_map = transform_points(pose_map, points * inv_res)
+    end = _cell_round(pts_map)
+    start = _cell_round(pose_map[:2])
+    same = (end[:, 0] == start[0]) & (end[:, 1] == start[1])
+    beam_mask = mask & ~same
+
+    oy = jnp.clip(start[1] - W // 2, 0, spec.height - W)
+    ox = jnp.clip(start[0] - W // 2, 0, spec.width - W)
+    origin = jnp.stack([ox, oy])
+    info = (start - origin).astype(jnp.int32)
+    codes = pack_codes(end - origin[None, :], beam_mask)
+    mark_w = ray_mark_window(info, codes, window=W, interpret=interpret)
+    full = jnp.zeros((spec.height, spec.width), jnp.int32)
+    return jax.lax.dynamic_update_slice(full, mark_w, (oy, ox))
+
+
+def scan_mark_image(spec: CountMapSpec, offset, points, mask, pose_world):
+    """Per-scan mark image: 0 untouched, 1 free (ray pass-through),
+    2 occupied (beam endpoint). Occupied wins over free, matching the
+    update_index_ rules (occu_grid_map.h:499-529). Dispatches to the Pallas
+    carve kernel on TPU when the spec carries a carve window."""
+    if spec.carve_window and jax.default_backend() == "tpu":
+        return scan_mark_image_pallas(spec, offset, points, mask, pose_world)
+    return scan_mark_image_xla(spec, offset, points, mask, pose_world)
 
 
 def update_log_odds_map(spec: CountMapSpec, lmap, points, mask, pose_world,
