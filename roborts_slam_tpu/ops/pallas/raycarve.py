@@ -161,6 +161,115 @@ def _carve_kernel(info_ref, codes_ref, out_ref, *, window: int, n_beams: int):
     jax.lax.fori_loop(0, n_beams, end_phase, 0, unroll=False)
 
 
+def _raycheck_kernel(info_ref, codes_ref, occ_ref, out_ref, *, window: int,
+                     n_beams: int, thr_d2: int):
+    """Count rays that cross an occupied cell farther than sqrt(thr_d2-1)
+    cells from their endpoint (MapFeedbackResponsePenalty's bad-ray count,
+    occu_grid_map.h:447-471). Same band walk and cell rule as the carve
+    kernel, but visiting cells INCLUDING the endpoint (t <= n) and reducing
+    ``any(on_ray & occupied & far)`` per beam instead of writing marks."""
+    out_ref[0, 0] = jnp.int32(0)
+    sx = info_ref[0]
+    sy = info_ref[1]
+
+    def beam(b, total):
+        code = codes_ref[b]
+
+        def do(total):
+            iy = code // PACK - BIAS
+            ix = code % PACK - BIAS
+            dx = ix - sx
+            dy = iy - sy
+            n = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)), 1)
+            two_n = 2 * n
+            ymin = jnp.maximum(jnp.minimum(sy, iy), 0)
+            ymax = jnp.minimum(jnp.maximum(sy, iy), window - 1)
+            xmin = jnp.maximum(jnp.minimum(sx, ix), 0)
+            xmax = jnp.minimum(jnp.maximum(sx, ix), window - 1)
+            band0 = (ymin // 8) * 8
+            nbands = (ymax - band0) // 8 + 1
+            l0 = xmin // 128
+            ntiles = xmax // 128 - l0 + 1
+            mx = jnp.maximum(2 * jnp.abs(dx), 1)
+            my = jnp.maximum(2 * jnp.abs(dy), 1)
+            inv_mx = 1.0 / mx.astype(jnp.float32)
+            inv_my = 1.0 / my.astype(jnp.float32)
+
+            def band_body(k, bad):
+                rb = pl.multiple_of(band0 + 8 * k, 8)
+                rows = rb + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                ay = two_n * (rows - sy) - n
+                by = ay + two_n - 1
+                pv = jnp.where(dy > 0, ay, -by)
+                qv = jnp.where(dy > 0, by, -ay)
+                tyl = _ceil_div(pv, my, inv_my)
+                tyh = _floor_div(qv, my, inv_my)
+                on_row = rows == sy
+                tyl = jnp.where(dy == 0, jnp.where(on_row, 0, 1), tyl)
+                tyh = jnp.where(dy == 0, jnp.where(on_row, n, 0), tyh)
+
+                def tile_body(l, bad):
+                    lc = pl.multiple_of((l0 + l) * 128, 128)
+                    cols = lc + jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 128), 1)
+                    axv = two_n * (cols - sx) - n
+                    bxv = axv + two_n - 1
+                    pxv = jnp.where(dx > 0, axv, -bxv)
+                    qxv = jnp.where(dx > 0, bxv, -axv)
+                    txl = _ceil_div(pxv, mx, inv_mx)
+                    txh = _floor_div(qxv, mx, inv_mx)
+                    on_col = cols == sx
+                    txl = jnp.where(dx == 0, jnp.where(on_col, 0, 1), txl)
+                    txh = jnp.where(dx == 0, jnp.where(on_col, n, 0), txh)
+                    lo = jnp.maximum(jnp.maximum(txl, tyl), 0)
+                    hi = jnp.minimum(jnp.minimum(txh, tyh), n)  # incl. endpoint
+                    d2 = (cols - ix) * (cols - ix) + (rows - iy) * (rows - iy)
+                    occ = occ_ref[pl.ds(rb, 8), pl.ds(lc, 128)]
+                    hit = (lo <= hi) & (occ > 0) & (d2 >= thr_d2)
+                    return jnp.maximum(bad, jnp.max(hit.astype(jnp.int32)))
+
+                return jax.lax.fori_loop(0, ntiles, tile_body, bad)
+
+            good = (ymin <= ymax) & (xmin <= xmax)
+            bad = jax.lax.cond(
+                good, lambda: jax.lax.fori_loop(0, nbands, band_body,
+                                                jnp.int32(0)),
+                lambda: jnp.int32(0))
+            return total + bad
+
+        return jax.lax.cond(code >= 0, do, lambda t: t, total)
+
+    total = jax.lax.fori_loop(0, n_beams, beam, jnp.int32(0))
+    out_ref[0, 0] = total
+
+
+@functools.partial(jax.jit, static_argnames=("window", "thr_d2", "interpret"))
+def ray_check_window(info, codes, occ, window: int, thr_d2: int,
+                     interpret: bool = False):
+    """Count bad rays against an occupancy bitmap window. ``occ`` is
+    (window, window) int32 (1 = occupied); returns () int32."""
+    P = codes.shape[0]
+    kernel = functools.partial(_raycheck_kernel, window=window, n_beams=P,
+                               thr_d2=thr_d2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((window, window), lambda g, i, c: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(info, codes, occ)
+    return out[0, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
 def ray_mark_window(info, codes, window: int, interpret: bool = False):
     """(2,) sensor cell + (P,) packed endpoint codes -> (window, window)

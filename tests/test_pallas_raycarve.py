@@ -57,6 +57,48 @@ def test_mark_image_parity_long_rays_small_window():
     assert (ref != got).sum() == 0
 
 
+def test_penalty_parity():
+    """The Pallas ray-check kernel must count the same bad rays as the XLA
+    gather DDA, across map states and poses."""
+    import jax.numpy as jnp
+
+    from roborts_slam_tpu.models.grid_map import CountMap
+    from roborts_slam_tpu.ops import raycast
+    from roborts_slam_tpu.ops.raster import _cell_round
+    from roborts_slam_tpu.utils.geometry import transform_points
+
+    rng = np.random.default_rng(11)
+    spec = CountMapSpec(resolution=0.05, height=256, width=256,
+                        max_ray_cells=52, carve_window=128)
+    # map with scattered occupied blobs
+    passes = (rng.random((256, 256)) * 8).astype(np.float32)
+    hits = passes * (rng.random((256, 256)) > 0.7)
+    cmap = CountMap(jnp.asarray(hits), jnp.asarray(passes),
+                    jnp.asarray([6.4, 6.4], jnp.float32))
+    for seed, pose in [(0, [0.0, 0.0, 0.0]), (1, [1.1, -0.8, 0.5]),
+                       (2, [-4.9, 5.2, 2.0])]:
+        r2 = np.random.default_rng(seed)
+        pts, mask = _scan(r2, 80, rmax=2.4)
+        pose_j = jnp.asarray(pose, jnp.float32)
+        pose_map = jnp.asarray(
+            (jnp.concatenate([(pose_j[:2] + cmap.offset) * spec.inv_res,
+                              pose_j[2:]])))
+        sidx, svalid = raycast._sample_beams(pts, mask, jnp.int32(80), 40)
+        pts_map = transform_points(pose_map, pts[sidx] * spec.inv_res)
+        end = _cell_round(pts_map)
+        start = _cell_round(pose_map[:2])
+        same = (end[:, 0] == start[0]) & (end[:, 1] == start[1])
+        end_in = ((end[:, 0] > 0) & (end[:, 0] < spec.width)
+                  & (end[:, 1] > 0) & (end[:, 1] < spec.height))
+        ray_ok = svalid & ~same & end_in
+        args = (spec, cmap, start, end, ray_ok,
+                jnp.float32(3.0), jnp.float32(0.5), 26)
+        ref = int(raycast._bad_rays_xla(*args))
+        got = int(raycast._bad_rays_pallas(*args, interpret=True))
+        assert ref == got, (seed, ref, got)
+    assert ref >= 0
+
+
 def test_empty_scan():
     spec = CountMapSpec(resolution=0.05, height=128, width=128,
                         max_ray_cells=52, carve_window=128)
