@@ -55,9 +55,9 @@ def _cmd_run(args) -> int:
         np.savetxt(args.out_trajectory, traj,
                    header="t x y theta", fmt="%.6f")
     if args.out_map:
-        from .utils.viz import save_pgm
+        from .utils.viz import save_map
 
-        save_pgm(engine.get_pub_map(), args.out_map)
+        save_map(engine, args.out_map)
     if args.render:
         from .utils.viz import render_run
 

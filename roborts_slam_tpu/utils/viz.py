@@ -45,6 +45,31 @@ def save_pgm(states: np.ndarray, path: str, crop: bool = True) -> None:
         f.write(img[::-1].tobytes())      # PGM rows top-down; map rows are +y
 
 
+def save_map(engine, path: str, crop: bool = True) -> None:
+    """Save the publish map as a map_server-style PGM + YAML pair — the
+    format the reference's GT map assets use (maps/*.pgm + maps/*.yaml:
+    image/resolution/origin/negate/occupied_thresh/free_thresh), so maps
+    built here drop into any consumer of that convention.
+
+    ``path`` may end in ``.pgm`` or be an extensionless stem."""
+    stem = path[:-4] if path.endswith(".pgm") else path
+    states = engine.get_pub_map()
+    cropped, (y0, x0) = (crop_to_content(states) if crop
+                         else (states, (0, 0)))
+    save_pgm(cropped, stem + ".pgm", crop=False)
+    res = engine.fspec.pub_spec.resolution
+    off = np.asarray(engine.state.pub.offset)
+    # origin = world coords of the PGM's lower-left pixel
+    origin = [float(x0 * res - off[0]), float(y0 * res - off[1]), 0.0]
+    import os
+
+    with open(stem + ".yaml", "w") as f:
+        f.write(f"image: {os.path.basename(stem)}.pgm\n"
+                f"resolution: {res}\n"
+                f"origin: [{origin[0]:.6f}, {origin[1]:.6f}, 0.000000]\n"
+                f"negate: 0\noccupied_thresh: 0.65\nfree_thresh: 0.196\n")
+
+
 def render_run(engine, path: str, gt_poses: np.ndarray | None = None,
                dpi: int = 130) -> None:
     """Map + estimated trajectory + graph edges (+ GT overlay) to PNG."""
