@@ -67,10 +67,10 @@ def main():
     print("\n" + engine.timers.report())
 
     if args.save_map:
-        from roborts_slam_tpu.utils.viz import save_pgm
+        from roborts_slam_tpu.utils.viz import save_map
 
-        save_pgm(engine.get_pub_map(), args.save_map)
-        print(f"map written to {args.save_map}")
+        save_map(engine, args.save_map)
+        print(f"map written to {args.save_map} (+ map_server YAML)")
 
     if args.render:
         from roborts_slam_tpu.utils.viz import render_run
