@@ -6,6 +6,8 @@ them from YAML)."""
 import math
 import os
 
+import pytest
+
 from roborts_slam_tpu.config import SlamConfig, load_config
 
 CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
@@ -41,3 +43,22 @@ def test_unknown_keys_ignored(tmp_path):
     p.write_text("map_resolution: 0.1\nsome_ros_only_param: 42\n")
     cfg = load_config(str(p))
     assert cfg.map_resolution == 0.1
+
+
+REFERENCE_YAMLS = "/root/reference/config"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_YAMLS),
+                    reason="reference checkout not present")
+def test_reference_yaml_profiles_load_unchanged():
+    """The reference's own ROS parameter YAMLs (param_config.h keys) load
+    through load_config with no translation step."""
+    sim = load_config(os.path.join(REFERENCE_YAMLS, "simulatin_param.yaml"))
+    assert sim.fine_map_resolution == 0.01
+    assert sim.coarse_map_resolution == 0.08
+    assert sim.gaussian_blur_offset == 0.88
+    assert sim.map_min_passthrough == 4.0
+
+    real = load_config(os.path.join(REFERENCE_YAMLS, "real_robot_param.yaml"))
+    assert isinstance(real, SlamConfig)
+    assert real.map_resolution > 0
