@@ -1,0 +1,271 @@
+"""Measure the reference pipeline (headless harness) and the TPU engine on
+the SAME simulated logs, and emit BASELINE_MEASURED.md.
+
+This executes VERDICT.md item 1: the reference core
+(/root/reference/src/slam/slam_processor.cpp:65-247 and the full matcher /
+pose-graph stack) is compiled unmodified by native/ref_harness/build.sh and
+replayed on the icra / rm / willow logs from tools/export_ref_logs.py;
+per-stage ms/scan come from the reference's own TIMER macros
+(-DSLAM_TIME_DEBUG, src/util/slam_util.h:63-65) and end-to-end ATE from the
+final corrected trajectory.
+
+Usage:
+  python tools/measure_reference.py ref    [--scenes icra rm willow] [--realtime 1]
+  python tools/measure_reference.py ours   [--scenes icra rm willow]
+  python tools/measure_reference.py report
+
+Results accumulate in out/ref_logs/results.json; `report` renders the
+markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.path.join(REPO, "out", "ref_logs")
+RESULTS = os.path.join(OUT_DIR, "results.json")
+HARNESS = os.path.join(REPO, "native", "ref_harness", "ref_harness")
+
+STAGE_RE = re.compile(r"\[(\w+)\]cost time: ([0-9.eE+-]+)ms")
+SCAN_RE = re.compile(
+    r"HARNESS scan (\d+) id (\d+) kept (\d) ok (\d) ms ([0-9.eE+-]+)")
+SOLVER_RE = re.compile(
+    r"HARNESS solver solves (\d+) iters (\d+) ms ([0-9.eE+-]+) "
+    r"last_poses (\d+) last_constraints (\d+)")
+
+
+def load_results() -> dict:
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            return json.load(f)
+    return {}
+
+
+def save_results(res: dict) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(RESULTS, "w") as f:
+        json.dump(res, f, indent=2)
+
+
+def ensure_logs(scenes: list[str]) -> None:
+    from tools.export_ref_logs import export_scene, flatten_yaml_params
+
+    for name in scenes:
+        if not os.path.exists(os.path.join(OUT_DIR, f"{name}.refbin")):
+            print(f"exporting {name} log ...")
+            export_scene(name, OUT_DIR)
+    params = os.path.join(OUT_DIR, "params_sim.txt")
+    if not os.path.exists(params):
+        flatten_yaml_params(
+            "/root/reference/config/simulatin_param.yaml", params)
+
+
+def ate_from_csv(csv_path: str) -> tuple[float, float, int]:
+    from roborts_slam_tpu.utils.evaluation import ate_rmse
+
+    rows = np.loadtxt(csv_path, delimiter=",", skiprows=1)
+    est_xy = rows[:, 2:4]
+    gt_xy = rows[:, 5:7]
+    odom_xy = rows[:, 8:10]
+    return (ate_rmse(est_xy, gt_xy, align=True),
+            ate_rmse(odom_xy, gt_xy, align=True), rows.shape[0])
+
+
+def measure_ref(scene: str, realtime: float) -> dict:
+    log_path = os.path.join(OUT_DIR, f"{scene}.refbin")
+    params = os.path.join(OUT_DIR, "params_sim.txt")
+    traj = os.path.join(OUT_DIR, f"{scene}_ref_traj.csv")
+    cmd = [HARNESS, log_path, params, traj]
+    if realtime > 0:
+        cmd += ["--realtime", str(realtime)]
+    print("running:", " ".join(cmd))
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-3000:])
+        print(proc.stderr[-3000:])
+        raise RuntimeError(f"harness failed on {scene}")
+
+    stages: dict[str, list[float]] = {}
+    for name, ms in STAGE_RE.findall(proc.stdout):
+        stages.setdefault(name, []).append(float(ms))
+    scans = SCAN_RE.findall(proc.stdout)
+    kept = [s for s in scans if s[2] == "1"]
+    per_scan_ms = [float(s[4]) for s in scans]
+    kept_ms = [float(s[4]) for s in kept]
+    m = SOLVER_RE.search(proc.stdout)
+    solver = dict(zip(
+        ["solves", "iters", "ms", "last_poses", "last_constraints"],
+        [float(x) for x in m.groups()])) if m else {}
+
+    ate, odom_ate, n_kept = ate_from_csv(traj)
+    result = {
+        "scene": scene,
+        "realtime": realtime,
+        "wall_s": wall,
+        "n_scans": len(scans),
+        "n_kept": n_kept,
+        "ate_m": ate,
+        "odom_ate_m": odom_ate,
+        "mean_process_ms_kept": float(np.mean(kept_ms)) if kept_ms else 0.0,
+        "p50_process_ms_kept": float(np.median(kept_ms)) if kept_ms else 0.0,
+        "p95_process_ms_kept": float(np.percentile(kept_ms, 95)) if kept_ms else 0.0,
+        "total_front_end_ms": float(np.sum(per_scan_ms)),
+        "stages_mean_ms": {k: float(np.mean(v)) for k, v in stages.items()},
+        "stages_count": {k: len(v) for k, v in stages.items()},
+        "solver": solver,
+    }
+    # throughput over kept scans in unthrottled mode
+    if realtime == 0 and kept_ms:
+        result["scans_per_sec"] = 1000.0 / float(np.mean(kept_ms))
+    return result
+
+
+def measure_ours(scene: str) -> dict:
+    from roborts_slam_tpu.config import load_config
+    from roborts_slam_tpu.engine import SlamEngine
+    from roborts_slam_tpu.io.scan_log import ScanLog
+    from roborts_slam_tpu.utils.evaluation import ate_rmse, match_by_time
+
+    log = ScanLog.load(os.path.join(OUT_DIR, f"{scene}.npz"))
+    cfg = load_config("/root/reference/config/simulatin_param.yaml")
+    engine = SlamEngine(cfg, log.laser, synchronous_backend=True)
+
+    t0 = time.time()
+    traj = engine.run_log(log, progress=True)
+    wall = time.time() - t0
+
+    est, gt = match_by_time(traj, log.gt_poses, log.times)
+    ate = ate_rmse(est, gt, align=True)
+    timers = {name: s.mean_ms for name, s in engine.timers.stages.items()}
+    return {
+        "scene": scene,
+        "wall_s": wall,
+        "n_scans": len(log),
+        "n_kept": len(traj),
+        "ate_m": float(ate),
+        "loop_closures": engine.diag.loop_closures,
+        "stages_mean_ms": timers,
+        "scans_per_sec": len(traj) / wall if wall > 0 else 0.0,
+    }
+
+
+def render_report(res: dict) -> str:
+    lines = [
+        "# BASELINE_MEASURED — reference vs TPU engine on identical logs",
+        "",
+        "Reference core compiled headlessly (native/ref_harness; unmodified",
+        "sources from /root/reference/src, per-stage timings from its own",
+        "TIMER macros under -DSLAM_TIME_DEBUG). Both sides replay the SAME",
+        "simulated logs (tools/export_ref_logs.py, seed 0). The harness",
+        "substitutes a sparse-LM drop-in for Ceres (identical SPA cost,",
+        "native/ref_harness/solver_impl.h) since Ceres is unavailable here;",
+        "solver wall-time is reported separately.",
+        "",
+        f"Host: 2-core CPU (reference side), TPU v5e-class single chip",
+        "(engine side). Generated by tools/measure_reference.py on "
+        + time.strftime("%Y-%m-%d") + ".",
+        "",
+    ]
+    scenes = sorted({k.split("/")[1] for k in res if "/" in k})
+    # ATE + throughput table
+    lines += ["## End-to-end quality + throughput", "",
+              "| Scene | ref ATE (m) | ours ATE (m) | ATE ratio | odom-only"
+              " ATE (m) | ref ms/scan | ours ms/scan | ref scans/s |"
+              " ours scans/s | speedup |",
+              "|---|---|---|---|---|---|---|---|---|---|"]
+    for s in scenes:
+        r = res.get(f"ref/{s}") or res.get(f"ref_rt/{s}")
+        rq = res.get(f"ref_rt/{s}") or r   # quality from paced run if present
+        o = res.get(f"ours/{s}")
+        if not r:
+            continue
+        ref_ate = rq["ate_m"]
+        ref_ms = r["mean_process_ms_kept"]
+        ref_sps = r.get("scans_per_sec", 0.0)
+        if o:
+            ratio = o["ate_m"] / ref_ate if ref_ate > 0 else float("nan")
+            speedup = o["scans_per_sec"] / ref_sps if ref_sps else float("nan")
+            lines.append(
+                f"| {s} | {ref_ate:.3f} | {o['ate_m']:.3f} | {ratio:.2f}x |"
+                f" {rq['odom_ate_m']:.3f} | {ref_ms:.1f} |"
+                f" {1000.0/o['scans_per_sec']:.1f} | {ref_sps:.1f} |"
+                f" {o['scans_per_sec']:.1f} | {speedup:.1f}x |")
+        else:
+            lines.append(
+                f"| {s} | {ref_ate:.3f} | — | — | {rq['odom_ate_m']:.3f} |"
+                f" {ref_ms:.1f} | — | {ref_sps:.1f} | — | — |")
+    lines.append("")
+
+    lines += ["## Reference per-stage ms (mean, unthrottled replay)", "",
+              "| Scene | FrontEndScanMatch | UpdateAllMap | SlamFrontEnd"
+              "Process | BackEndScanMatch | BackEndResetMap | BackEndProcess |"
+              " SPA solves | SPA ms total |",
+              "|---|---|---|---|---|---|---|---|---|"]
+    for s in scenes:
+        r = res.get(f"ref/{s}")
+        if not r:
+            continue
+        st = r["stages_mean_ms"]
+        sv = r.get("solver", {})
+        lines.append(
+            f"| {s} | {st.get('FrontEndScanMatch', 0):.1f} |"
+            f" {st.get('UpdateAllMap', 0):.1f} |"
+            f" {st.get('SlamFrontEndProcess', 0):.1f} |"
+            f" {st.get('BackEndScanMatch', 0):.1f} |"
+            f" {st.get('BackEndResetMap', 0):.1f} |"
+            f" {st.get('BackEndProcess', 0):.1f} |"
+            f" {int(sv.get('solves', 0))} | {sv.get('ms', 0):.0f} |")
+    lines.append("")
+
+    lines += ["## Raw records", "", "```json",
+              json.dumps(res, indent=2, sort_keys=True), "```", ""]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["ref", "ours", "report"])
+    ap.add_argument("--scenes", nargs="*", default=["icra", "rm", "willow"])
+    ap.add_argument("--realtime", type=float, default=0.0,
+                    help="pace the reference replay at N x real time")
+    args = ap.parse_args()
+
+    res = load_results()
+    if args.mode == "ref":
+        ensure_logs(args.scenes)
+        os.environ.setdefault("REF_HARNESS_PARAMS",
+                              os.path.join(OUT_DIR, "params_sim.txt"))
+        for scene in args.scenes:
+            key = f"ref_rt/{scene}" if args.realtime > 0 else f"ref/{scene}"
+            res[key] = measure_ref(scene, args.realtime)
+            save_results(res)
+            print(json.dumps(res[key], indent=2))
+    elif args.mode == "ours":
+        ensure_logs(args.scenes)
+        for scene in args.scenes:
+            res[f"ours/{scene}"] = measure_ours(scene)
+            save_results(res)
+            print(json.dumps(res[f"ours/{scene}"], indent=2))
+    else:
+        report = render_report(res)
+        with open(os.path.join(REPO, "BASELINE_MEASURED.md"), "w") as f:
+            f.write(report)
+        print(report[:2000])
+        print("\nwrote BASELINE_MEASURED.md")
+
+
+if __name__ == "__main__":
+    main()
