@@ -108,10 +108,11 @@ def scan_match(params: MatcherParams,
             and params.coarse.pallas_eligible(fine_spec.resolution)
             and params.fine.pallas_eligible(fine_spec.resolution)
             and params.super_fine.pallas_eligible(fine_spec.resolution)):
-        from ..ops.pallas.correlation import build_slab_cache
+        from ..ops.pallas.correlation import build_slab_cache, slab_plan_ok
 
-        slab_cache = build_slab_cache(fine_spec, fine_probs, fine_offset,
-                                      init_pose)
+        if slab_plan_ok(fine_spec):
+            slab_cache = build_slab_cache(fine_spec, fine_probs, fine_offset,
+                                          init_pose)
 
     def run_coarse(start_pose, cov_in):
         res = correlative_scan_match(fine_spec, params.coarse, fine_probs,

@@ -39,7 +39,8 @@ class FrontendSpec:
 
         if world_size is None:
             world_size = config.derived_world_size(laser_range_max)
-        coarse, fine = scan_match_map_specs(config, world_size)
+        coarse, fine = scan_match_map_specs(
+            config, world_size, coverage_m=laser_range_max + 2.0)
         return FrontendSpec(
             config=config,
             pub_spec=pub_map_spec(config, laser_range_max, world_size),

@@ -48,6 +48,11 @@ class ProbMapSpec:
     deviation: float              # gaussian blur sigma (m)
     blur_offset: float            # cell_occu_prob_offset (gaussian_blur_offset)
     default_prob: float = 0.3     # kMapUnknownCellProb (slam_processor.h:264)
+    # max cells any gated beam endpoint can lie from the search pose
+    # (≈ (range_max + margin) / resolution); lets the Pallas matcher derive
+    # its slab tiling for maps larger than one VMEM slab (0 = unknown, only
+    # valid when the whole map fits one slab)
+    coverage_cells: int = 0
 
     @property
     def inv_res(self) -> float:
@@ -220,26 +225,32 @@ def shift_prob_map(spec: ProbMapSpec, pmap: ProbMap,
                    offset=jnp.asarray(off, jnp.float32))
 
 
-def scan_match_map_specs(config, world_size: float):
+def scan_match_map_specs(config, world_size: float,
+                         coverage_m: float | None = None):
     """Front-end coarse + fine scan-match map specs (CreateAllMap,
     slam_processor.cpp:482-510). With ``match_map_window > 0`` the specs
     cover only the rolling window (the engine recenters them; pub map keeps
-    the world extent)."""
+    the world extent). ``coverage_m`` bounds beam reach from the search pose
+    (laser range + margin) for the Pallas matcher's slab tiling."""
     if config.match_map_window > 0:
         world_size = min(world_size, config.match_map_window)
     nc = _round_up(int(np.ceil(world_size / config.coarse_map_resolution)))
     nf = _round_up(int(np.ceil(world_size / config.fine_map_resolution)))
+    cov = lambda res: (int(np.ceil(coverage_m / res))
+                       if coverage_m is not None else 0)
     coarse = ProbMapSpec(
         resolution=config.coarse_map_resolution,
         height=nc, width=nc,
         deviation=config.coarse_map_deviation,
         blur_offset=config.gaussian_blur_offset,
+        coverage_cells=cov(config.coarse_map_resolution),
     )
     fine = ProbMapSpec(
         resolution=config.fine_map_resolution,
         height=nf, width=nf,
         deviation=config.fine_map_deviation,
         blur_offset=config.gaussian_blur_offset,
+        coverage_cells=cov(config.fine_map_resolution),
     )
     return coarse, fine
 
@@ -249,6 +260,7 @@ def backend_map_specs(config, laser_range_max: float):
     CreateScanMatchMapWithRangeVec (slam_processor.cpp:433-439,
     kMinScanMatchMapBound=2.0 slam_processor.h:263)."""
     size = (laser_range_max + 2.0) * 2.0
+    coverage_m = laser_range_max + 2.0
     nc = _round_up(int(np.ceil(size / config.coarse_map_resolution)))
     nf = _round_up(int(np.ceil(size / config.fine_map_resolution)))
     coarse = ProbMapSpec(
@@ -256,11 +268,13 @@ def backend_map_specs(config, laser_range_max: float):
         height=nc, width=nc,
         deviation=config.coarse_map_deviation,
         blur_offset=config.gaussian_blur_offset,
+        coverage_cells=int(np.ceil(coverage_m / config.coarse_map_resolution)),
     )
     fine = ProbMapSpec(
         resolution=config.fine_map_resolution,
         height=nf, width=nf,
         deviation=config.fine_map_deviation,
         blur_offset=config.gaussian_blur_offset,
+        coverage_cells=int(np.ceil(coverage_m / config.fine_map_resolution)),
     )
     return coarse, fine

@@ -62,9 +62,18 @@ class CorrelativeParams:
 
     def pallas_eligible(self, map_resolution: float) -> bool:
         """The Pallas scoring kernel requires an integer candidate step in
-        map cells (true for all reference configs)."""
+        map cells (true for all reference configs) and a window that fits
+        the slab pads (span ≤ 128 lanes, rows within ROW_PAD)."""
         st = self.search_space_resolution / map_resolution
-        return abs(st - round(st)) < 1e-6 and round(st) >= 1
+        st_i = int(round(st))
+        if abs(st - st_i) >= 1e-6 or st_i < 1:
+            return False
+        from .pallas.correlation import MAX_WINDOW_ROWS, _window_rows
+
+        span = st_i * (self.n_space - 1) + 1
+        rows = (_window_rows(self.n_space) if st_i >= 3
+                else _window_rows(span))
+        return span <= 128 and rows <= MAX_WINDOW_ROWS
 
     @property
     def n_angles(self) -> int:
@@ -295,8 +304,11 @@ def correlative_scan_match(spec: ProbMapSpec, params: CorrelativeParams,
 
     center = world_to_map_pose(offset, spec.inv_res, pose_world)
     if use_pallas is None:
+        from .pallas.correlation import slab_plan_ok
+
         use_pallas = (jax.default_backend() == "tpu"
-                      and params.pallas_eligible(spec.resolution))
+                      and params.pallas_eligible(spec.resolution)
+                      and slab_plan_ok(spec))
     if use_pallas:
         from .pallas.correlation import score_candidates_pallas
 

@@ -10,10 +10,24 @@ candidate's cell is ``base(angle, sample) + (st·ky, st·kx)`` with
     score[a, ky, kx] · divisor = Σ_s M[by(a,s) + st·ky, bx(a,s) + st·kx]
 
 is a sum of S *contiguous 2D windows* of the map, one per sampled point.
-The kernel holds a bf16 crop of the map in VMEM and, per angle, accumulates
-S dynamically-offset (ROWS, 128) tiles with the VPU — a handful of wide
-vector loads per sample instead of 169+ scalar gathers. The strided
+The kernel holds a bf16 crop ("slab") of the map in VMEM and, per angle,
+accumulates S dynamically-offset (ROWS, 128) tiles with the VPU — a handful
+of wide vector loads per sample instead of 169+ scalar gathers. The strided
 candidate lattice is then sliced out of the accumulated window by XLA.
+
+Long-range coverage (the rm scene's 30 m lidar): one VMEM slab covers
+``CROP`` cells per side, far less than the ~5 700-cell beam disc of a 30 m
+lidar on a 0.01 m map. ``plan_tiles`` therefore derives a static tile grid
+from ``ProbMapSpec.coverage_cells`` (set from the laser range by the map
+spec builders): sample windows are bucketed by the slab tile containing
+their base, sorted into per-(tile, angle) segments, and the kernel runs a
+(T, A) grid where each tile's slab streams through VMEM while its segment
+of samples accumulates. Sample bases that fall outside the tiled coverage
+are — by construction of the plan — outside the map, and their constant
+``default_prob`` contribution is added analytically after the kernel
+(matching the reference's out-of-map read semantics, GetGridProbValue,
+occu_grid_map.h:395). A map that fits entirely inside one slab is always
+exact with no coverage information.
 
 Numerics: identical cell indices and summation order as the reference
 semantics; map probabilities are quantized to bf16 (~0.3% relative), far
@@ -22,27 +36,112 @@ inside the score tolerances used by the gates (tie tolerance 1e-2).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# crop geometry: the VMEM-resident slab (bf16) around the search center
-CROP = 2048          # active crop cells per side
-ROW_PAD = 96         # default-prob border rows (>= largest window span)
-LANE_PAD = 256       # default-prob border cols (>= 128 + window span)
-SLAB_ROWS = CROP + ROW_PAD          # 2144
-SLAB_COLS = CROP + LANE_PAD         # 2304 (multiple of 128)
+# slab geometry: the VMEM-resident bf16 crop(s) of the map
+CROP = 2048          # single-tile crop cells per side (slab ~9.4 MB)
+TILE_CROP = 1408     # per-tile crop when tiling (two blocks pipeline ≤ 10 MB)
+ROW_PAD = 96         # extra rows so windows near the crop edge stay in-slab
+LANE_PAD = 256       # extra cols (aligned 128-lane load + window span)
+MAX_WINDOW_ROWS = 88 # ROW_PAD minus sublane alignment slack
+
+
+def _bf16_value(x: float) -> float:
+    """Static bf16 quantization of a python float (no tracing)."""
+    import ml_dtypes
+    import numpy as np
+
+    return float(np.asarray(x, ml_dtypes.bfloat16))
 
 
 def _window_rows(span: int) -> int:
     """Rows kept per sample window, padded to sublane granularity (loads add
     8 more rows of alignment slack)."""
     return max(((span + 7) // 8) * 8, 8)
+
+
+def plan_tiles(spec) -> tuple[int, int, int]:
+    """Static slab tiling (ty, tx, crop) for a map spec.
+
+    Correctness contract: every in-map cell a gated beam can address lies
+    inside the tiled coverage, because per axis either (a) one crop covers
+    the whole map axis, or (b) ``tiles·crop ≥ 2·coverage_cells`` (and the
+    dynamic origin is clamped so the pose-centered coverage stays in range),
+    or (c) ``tiles·crop ≥ extent`` covers the whole axis. Maps larger than
+    one slab with no coverage information are rejected loudly (the silent
+    default-border misread this replaces).
+    """
+    def axis(extent: int, crop: int) -> int:
+        if extent <= crop:
+            return 1
+        if spec.coverage_cells <= 0:
+            raise ValueError(
+                f"map extent {extent} exceeds one {crop}-cell slab and the "
+                "spec carries no coverage_cells; set ProbMapSpec."
+                "coverage_cells (≈ (range_max + margin) / resolution) so the "
+                "kernel can tile, or use the XLA path (use_pallas=False)")
+        need = 2 * spec.coverage_cells
+        if need <= crop:
+            return 1
+        return min(-(-need // crop), -(-extent // crop))
+
+    ty, tx = axis(spec.height, CROP), axis(spec.width, CROP)
+    if ty == 1 and tx == 1:
+        return 1, 1, CROP
+    return axis(spec.height, TILE_CROP), axis(spec.width, TILE_CROP), TILE_CROP
+
+
+def slab_plan_ok(spec) -> bool:
+    """True when a correct slab tiling exists for this spec (used by the
+    auto-selection paths to fall back to the XLA matcher instead of raising
+    from plan_tiles)."""
+    try:
+        plan_tiles(spec)
+        return True
+    except ValueError:
+        return False
+
+
+def _clamped_origin(center_cells, n_tiles: int, crop: int, extent: int):
+    """Coverage origin: center the tile span on the search pose, clamped so
+    the span stays over the map (or covers all of it when it is smaller)."""
+    ideal = jnp.round(center_cells).astype(jnp.int32) - (n_tiles * crop) // 2
+    lo = min(0, extent - n_tiles * crop)
+    hi = max(0, extent - n_tiles * crop)
+    return jnp.clip(ideal, lo, hi)
+
+
+def make_slab_tiles(probs, oy, ox, ty: int, tx: int, crop: int,
+                    default_prob: float):
+    """Crop the (H, W) prob map into a (ty·tx, crop+ROW_PAD, crop+LANE_PAD)
+    bf16 tile stack. Tile (i, j) holds map cells starting at
+    (oy + i·crop, ox + j·crop); cells outside the map read default_prob
+    (reference out-of-map semantics). Tiles overlap by the pad region so
+    windows crossing a tile's far edge still read true map content."""
+    H, W = probs.shape
+    SR, SC = crop + ROW_PAD, crop + LANE_PAD
+    pb = probs.astype(jnp.bfloat16)
+    # bf16-quantized fill (static python float) so borders match in-slab
+    # quantized content
+    fill = _bf16_value(default_prob)
+    tiles = []
+    # mode="fill" wraps NEGATIVE indices numpy-style; remap them to an
+    # always-out-of-bounds sentinel so they fill with default_prob too
+    oob = lambda idx, n: jnp.where(idx < 0, n, idx)
+    for i in range(ty):
+        iy = oob(oy + i * crop + jnp.arange(SR), H)
+        rows = jnp.take(pb, iy, axis=0, mode="fill", fill_value=fill)
+        for j in range(tx):
+            ix = oob(ox + j * crop + jnp.arange(SC), W)
+            tiles.append(jnp.take(rows, ix, axis=1, mode="fill",
+                                  fill_value=fill))
+    return jnp.stack(tiles)
 
 
 # --- row-deinterleaved slab (large-stride tiers) -------------------------
@@ -55,148 +154,146 @@ def _window_rows(span: int) -> int:
 # tier, st=10). Plane m holds original rows {st·q + m}; a window base row
 # ``by`` maps to deinterleaved row (by % st)·P_h + by // st.
 
-def _deint_plane_height(st: int, n_space: int) -> int:
-    q_max = CROP // st          # window bases are clamped to [0, CROP]
+def _deint_plane_height(st: int, n_space: int, crop: int) -> int:
+    q_max = crop // st          # window bases lie in [0, crop)
     return ((q_max + n_space + 2 + 7) // 8) * 8
 
 
-def _deint_total_rows(st: int, n_space: int) -> int:
+def _deint_total_rows(st: int, n_space: int, crop: int) -> int:
     rows_d = _window_rows(n_space)
-    return st * _deint_plane_height(st, n_space) + rows_d + 16
+    return st * _deint_plane_height(st, n_space, crop) + rows_d + 16
 
 
-def make_deinterleaved_slab(slab, st: int, n_space: int, default_prob: float):
-    """(SLAB_ROWS, C) slab -> (st·P_h + pad, C) row-deinterleaved slab."""
-    P_h = _deint_plane_height(st, n_space)
-    C = slab.shape[1]
+def make_deinterleaved_tiles(tiles, st: int, n_space: int,
+                             default_prob: float, crop: int):
+    """(T, crop+ROW_PAD, C) tiles -> (T, st·P_h + pad, C) row-deinterleaved."""
+    T, SR, C = tiles.shape
+    P_h = _deint_plane_height(st, n_space, crop)
     pad_to = st * P_h
-    if pad_to >= slab.shape[0]:
-        slab_pad = jnp.pad(slab, ((0, pad_to - slab.shape[0]), (0, 0)),
-                           constant_values=jnp.bfloat16(default_prob))
+    fill = _bf16_value(default_prob)
+    if pad_to >= SR:
+        tp = jnp.pad(tiles, ((0, 0), (0, pad_to - SR), (0, 0)),
+                     constant_values=fill)
     else:
-        # rows >= st*P_h >= CROP + st*n_space are border rows no valid
-        # window reads — dropping them is safe
-        slab_pad = slab[:pad_to]
-    deint = (slab_pad.reshape(P_h, st, C).transpose(1, 0, 2)
-             .reshape(st * P_h, C))
-    tail = _deint_total_rows(st, n_space) - st * P_h
-    return jnp.pad(deint, ((0, tail), (0, 0)),
-                   constant_values=jnp.bfloat16(default_prob))
+        # rows >= st*P_h >= crop + st*(n_space+2) exceed the deepest window
+        # read (base < crop, depth st*(n_space+1)) — dropping them is safe
+        tp = tiles[:, :pad_to]
+    deint = (tp.reshape(T, P_h, st, C).transpose(0, 2, 1, 3)
+             .reshape(T, st * P_h, C))
+    tail = _deint_total_rows(st, n_space, crop) - st * P_h
+    return jnp.pad(deint, ((0, 0), (0, tail), (0, 0)), constant_values=fill)
 
 
-def make_slab(probs, offset_cells_y, offset_cells_x, default_prob: float):
-    """Crop the (H, W) prob map to a (SLAB_ROWS, SLAB_COLS) bf16 slab whose
-    [0:CROP, 0:CROP] region is map cells starting at (oy, ox); the border is
-    default_prob (reference out-of-map read semantics)."""
-    H, W = probs.shape
-    oy = jnp.clip(offset_cells_y, 0, max(H - CROP, 0))
-    ox = jnp.clip(offset_cells_x, 0, max(W - CROP, 0))
-    crop = jax.lax.dynamic_slice(probs, (oy, ox),
-                                 (min(CROP, H), min(CROP, W)))
-    slab = jnp.full((SLAB_ROWS, SLAB_COLS), default_prob, jnp.bfloat16)
-    slab = jax.lax.dynamic_update_slice(slab, crop.astype(jnp.bfloat16), (0, 0))
-    return slab, oy, ox
-
-
-def _correlation_kernel(n_iters_ref, codes_ref, slab_ref, out_ref,
-                        *, n_samples: int, rows: int):
-    """Accumulate S dynamically-positioned (rows, 128) windows per angle.
+def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
+                        *, rows: int):
+    """Accumulate this (tile, angle)'s segment of dynamically-positioned
+    (rows, 128) windows.
 
     Mosaic requires aligned vector-load starts (sublane multiple-of-8, lane
     multiple-of-128), so each sample loads the aligned superset tile and
     dynamic-rotates it into place on both axes.
 
-    codes: int32 (A, S) = by * 4096 + bx, or -1 for invalid samples.
-    slab:  bf16 (SLAB_ROWS, SLAB_COLS) — whole map crop, VMEM resident.
-    out:   f32 (1, rows, 128) per grid step (angle).
+    starts: int32 (T+1, A) — codes[a, starts[t,a]:starts[t+1,a]] is tile t's
+            segment for angle a.
+    codes:  int32 (A, S) = by * 4096 + bx (tile-local), or -1 for samples
+            whose contribution is not read from this map (invalid slots and
+            out-of-coverage bases, compensated analytically outside).
+    slab:   bf16 (1, SLAB_ROWS, SLAB_COLS) — tile t's map crop, VMEM.
+    out:    f32 (1, 1, rows, 128) per grid step.
     """
-    a = pl.program_id(0)
-    n_iters = n_iters_ref[0]
+    t = pl.program_id(0)
+    a = pl.program_id(1)
+    start = starts_ref[t, a]
+    end = starts_ref[t + 1, a]
 
     def sample_window(code):
         """One sample's aligned load + 2-axis dynamic rotate -> (rows+8, 128)."""
-        safe = jnp.maximum(code, 0)    # invalid (-1) decodes to (0, 0)
+        safe = jnp.maximum(code, 0)    # masked (-1) decodes to (0, 0)
         by = safe >> 12
         bx = safe & 4095
         r = by & 7
         by_al = pl.multiple_of(by - r, 8)
         rl = bx & 127
         bx_al = pl.multiple_of(bx - rl, 128)
-        tile = slab_ref[pl.ds(by_al, rows + 8), pl.ds(bx_al, 256)]
-        # dynamic rotates require 32-bit data on TPU; invalid samples
-        # (code < 0) are zeroed instead of branched to keep the loop body a
-        # single pipelined dependency-free chain.
+        tile = slab_ref[0, pl.ds(by_al, rows + 8), pl.ds(bx_al, 256)]
+        # dynamic rotates require 32-bit data on TPU; masked samples are
+        # zeroed instead of branched to keep the loop body a single
+        # pipelined dependency-free chain.
         t32 = tile.astype(jnp.float32)
         t32 = pltpu.roll(t32, (rows + 8) - r, axis=0)
         t32 = pltpu.roll(t32, 256 - rl, axis=1)
         return jnp.where(code >= 0, t32[:, :128], 0.0)
 
-    # 8-way unrolled loop over only the valid sample slots (dynamic bound);
-    # accumulation lives in four loop-carried register accumulators, giving
-    # eight independent load/rotate chains per iteration (the per-sample
+    # 8-way unrolled loop over this segment (dynamic bounds); accumulation
+    # lives in four loop-carried register accumulators, giving eight
+    # independent load/rotate chains per iteration (the per-sample
     # load→convert→rotate→rotate chain is ~60 cycles of latency; deep ILP is
     # what hides it).
     UNROLL = 8
 
+    def get(i):
+        # slots past the segment end belong to other tiles — mask them
+        return jnp.where(i < end, codes_ref[a, i], -1)
+
     def body(s, accs):
         acc0, acc1, acc2, acc3 = accs
-        base = UNROLL * s
-        acc0 = acc0 + (sample_window(codes_ref[a, base])
-                       + sample_window(codes_ref[a, base + 1]))
-        acc1 = acc1 + (sample_window(codes_ref[a, base + 2])
-                       + sample_window(codes_ref[a, base + 3]))
-        acc2 = acc2 + (sample_window(codes_ref[a, base + 4])
-                       + sample_window(codes_ref[a, base + 5]))
-        acc3 = acc3 + (sample_window(codes_ref[a, base + 6])
-                       + sample_window(codes_ref[a, base + 7]))
+        base = start + UNROLL * s
+        acc0 = acc0 + (sample_window(get(base)) + sample_window(get(base + 1)))
+        acc1 = acc1 + (sample_window(get(base + 2)) + sample_window(get(base + 3)))
+        acc2 = acc2 + (sample_window(get(base + 4)) + sample_window(get(base + 5)))
+        acc3 = acc3 + (sample_window(get(base + 6)) + sample_window(get(base + 7)))
         return acc0, acc1, acc2, acc3
 
     zero = jnp.zeros((rows + 8, 128), jnp.float32)
+    cnt = end - start
     acc0, acc1, acc2, acc3 = jax.lax.fori_loop(
-        0, (n_iters + UNROLL - 1) // UNROLL, body, (zero, zero, zero, zero))
-    out_ref[0] = ((acc0 + acc1) + (acc2 + acc3))[:rows]
+        0, (cnt + UNROLL - 1) // UNROLL, body, (zero, zero, zero, zero))
+    out_ref[0, 0] = ((acc0 + acc1) + (acc2 + acc3))[:rows]
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "rows", "interpret"))
-def accumulate_windows(n_iters, codes, slab, n_samples: int, rows: int,
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def accumulate_windows(starts, codes, tiles, rows: int,
                        interpret: bool = False):
-    """(A, S) codes + slab -> (A, rows, 128) f32 accumulated windows."""
+    """(T+1, A) segment bounds + (A, S) codes + (T, R, C) slab tiles ->
+    (T, A, rows, 128) f32 accumulated windows."""
+    T, slab_rows, slab_cols = tiles.shape
     A = codes.shape[0]
-    kernel = functools.partial(_correlation_kernel, n_samples=n_samples,
-                               rows=rows)
-    slab_rows, slab_cols = slab.shape
+    kernel = functools.partial(_correlation_kernel, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(A,),
-        in_specs=[pl.BlockSpec((slab_rows, slab_cols),
-                               lambda a, n, codes: (0, 0),
+        grid=(T, A),
+        in_specs=[pl.BlockSpec((1, slab_rows, slab_cols),
+                               lambda t, a, starts, codes: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rows, 128), lambda a, n, codes: (a, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, rows, 128),
+                               lambda t, a, starts, codes: (t, a, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((A, rows, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, A, rows, 128), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(n_iters, codes, slab)
+    )(starts, codes, tiles)
 
 
 def build_slab_cache(spec, probs, offset, pose_world):
-    """Precompute the VMEM slab once per match: the crop depends only on
+    """Precompute the slab tiles once per match: the crop depends only on
     (map, search center), not on tier params, so the 3-tier facade shares
-    one slab instead of re-cropping ~10 MB per tier. Returns (slab, oy, ox).
-    Safe across tiers: range gating keeps beams within CROP/2 cells of the
-    initial center, and inter-tier pose refinement moves the center by at
-    most the coarse window (tens of cells)."""
+    one tile stack instead of re-cropping ~10 MB per tier. Returns
+    (tiles, oy, ox). The static tile plan derives from the spec alone
+    (plan_tiles), so every tier agrees on the geometry. Inter-tier pose
+    refinement moves the search center by well under the coverage margin
+    the spec builders add (≈2 m)."""
     from ..correlative import world_to_map_pose
 
+    ty, tx, crop = plan_tiles(spec)
     center = world_to_map_pose(offset, spec.inv_res, pose_world)
-    oy = (center[1]).astype(jnp.int32) - CROP // 2
-    ox = (center[0]).astype(jnp.int32) - CROP // 2
-    return make_slab(probs, oy, ox, spec.default_prob)
+    oy = _clamped_origin(center[1], ty, crop, spec.height)
+    ox = _clamped_origin(center[0], tx, crop, spec.width)
+    return make_slab_tiles(probs, oy, ox, ty, tx, crop, spec.default_prob), oy, ox
 
 
 def score_candidates_pallas(spec, params, probs, offset, points, mask,
@@ -226,6 +323,12 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
     # slab so each sample loads N contiguous rows instead of the whole span
     deint = st_i >= 3
     rows = _window_rows(N) if deint else _window_rows(span)
+    assert rows <= MAX_WINDOW_ROWS and span <= 128, (
+        f"window geometry (span={span}, rows={rows}) exceeds the slab pads; "
+        "use the XLA path for this tier")
+
+    ty, tx, crop = plan_tiles(spec)
+    T = ty * tx
 
     base_angle = center_pose_map[2]
     start_angle = base_angle - params.search_angle_offset
@@ -234,7 +337,6 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
 
     sidx, svalid, divisor = _sample_indices(n_valid, params.use_point_size,
                                             params.max_samples)
-    S = params.max_samples
     pts = points[sidx] * inv_res
     c, s = jnp.cos(angles), jnp.sin(angles)
     rx = c[:, None] * pts[None, :, 0] - s[:, None] * pts[None, :, 1]
@@ -244,39 +346,63 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
     y0 = center_pose_map[1] - (params.search_space_size * inv_res) * 0.5
 
     if slab_cache is not None:
-        slab, oy, ox = slab_cache
+        tiles, oy, ox = slab_cache
+        assert tiles.shape[0] == T, (
+            f"slab cache built for {tiles.shape[0]} tiles, spec plans {T}")
     else:
-        # crop origin: center the slab on the scan center
-        oy = (center_pose_map[1]).astype(jnp.int32) - CROP // 2
-        ox = (center_pose_map[0]).astype(jnp.int32) - CROP // 2
-        slab, oy, ox = make_slab(probs, oy, ox, spec.default_prob)
+        oy = _clamped_origin(center_pose_map[1], ty, crop, spec.height)
+        ox = _clamped_origin(center_pose_map[0], tx, crop, spec.width)
+        tiles = make_slab_tiles(probs, oy, ox, ty, tx, crop,
+                                spec.default_prob)
 
     by = jnp.floor(ry + y0 + 0.5).astype(jnp.int32) - oy
     bx = jnp.floor(rx + x0 + 0.5).astype(jnp.int32) - ox
-    # bases outside the crop read the default-prob border (approximates the
-    # XLA fill semantics; only affects samples beyond CROP/2 cells ≈ max
-    # lidar range from the search center)
-    oob = (by < 0) | (by >= CROP) | (bx < 0) | (bx >= CROP)
-    by = jnp.where(oob, CROP, by)
-    bx = jnp.where(oob, CROP, bx)
+    # bases outside the tiled coverage are outside the map (plan_tiles
+    # contract): they contribute the constant default_prob per candidate,
+    # added analytically below instead of read from a slab
+    oob = (by < 0) | (by >= ty * crop) | (bx < 0) | (bx >= tx * crop)
+    in_cov = (~oob) & svalid[None, :]
+    n_default = jnp.sum(oob & svalid[None, :], axis=1).astype(jnp.float32)
 
+    tyi = jnp.clip(by // crop, 0, ty - 1)
+    txi = jnp.clip(bx // crop, 0, tx - 1)
+    lby = by - tyi * crop
+    lbx = bx - txi * crop
     if deint:
-        P_h = _deint_plane_height(st_i, N)
-        slab = make_deinterleaved_slab(slab, st_i, N, spec.default_prob)
-        by = (by % st_i) * P_h + by // st_i
+        P_h = _deint_plane_height(st_i, N, crop)
+        tiles = make_deinterleaved_tiles(tiles, st_i, N, spec.default_prob,
+                                         crop)
+        lby = (lby % st_i) * P_h + lby // st_i
 
-    codes = by * 4096 + bx
-    codes = jnp.where(svalid[None, :], codes, -1).astype(jnp.int32)
+    codes = jnp.where(in_cov, lby * 4096 + lbx, -1).astype(jnp.int32)
+    if T > 1:
+        # bucket samples by tile: per-angle stable sort on tile id builds
+        # contiguous per-(tile, angle) segments for the kernel
+        tid = jnp.where(in_cov, tyi * tx + txi, T)
+        order = jnp.argsort(tid, axis=1, stable=True)
+        codes = jnp.take_along_axis(codes, order, axis=1)
+        cnts = jnp.sum(tid[None, :, :] == jnp.arange(T)[:, None, None],
+                       axis=2)                                     # (T, A)
+        starts = jnp.concatenate(
+            [jnp.zeros((1, A), jnp.int32),
+             jnp.cumsum(cnts, axis=0).astype(jnp.int32)])          # (T+1, A)
+    else:
+        # valid slots are a prefix (see _sample_indices); masked (-1) codes
+        # inside it contribute zero and are compensated via n_default
+        n_prefix = jnp.sum(svalid.astype(jnp.int32))
+        starts = jnp.stack([jnp.zeros((), jnp.int32), n_prefix])[
+            :, None] * jnp.ones((1, A), jnp.int32)
     # pad so the unrolled loop's last iteration stays in bounds
     codes = jnp.pad(codes, ((0, 0), (0, 8)), constant_values=-1)
-    n_iters = jnp.sum(svalid.astype(jnp.int32)).reshape(1)
 
-    acc = accumulate_windows(n_iters, codes, slab, n_samples=S, rows=rows,
+    acc = accumulate_windows(starts, codes, tiles, rows=rows,
                              interpret=interpret)
+    acc = jnp.sum(acc, axis=0) if T > 1 else acc[0]
     if deint:
         lattice = acc[:, 0:N, 0:span:st_i]              # (A, N, N) [ky, kx]
     else:
         lattice = acc[:, 0:span:st_i, 0:span:st_i]      # (A, N, N) [ky, kx]
+    lattice = lattice + n_default[:, None, None] * spec.default_prob
     scores = jnp.swapaxes(lattice, 1, 2) / divisor       # -> (A, kx, ky)
 
     space_step = params.search_space_resolution * inv_res

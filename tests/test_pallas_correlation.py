@@ -62,6 +62,89 @@ def test_small_scan_fewer_than_2x_use_points():
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pal), atol=5e-3)
 
 
+def _tiled_setup(seed, n_points, res, size, reach_m, coverage_m,
+                 center_xy, max_points=256):
+    """Map larger than one slab: beams out to ``reach_m`` force the tiled
+    slab plan (VERDICT r1 'range cliff': bases beyond one crop must read
+    true map content, not the default border)."""
+    rng = np.random.default_rng(seed)
+    spec = ProbMapSpec(resolution=res, height=size, width=size,
+                       deviation=0.05, blur_offset=0.88, default_prob=0.3,
+                       coverage_cells=int(np.ceil(coverage_m / res)))
+    probs = rng.uniform(0, 1, (size, size)).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, max_points)
+    r = rng.uniform(0.5, reach_m, max_points)
+    pts = np.stack([r * np.cos(ang), r * np.sin(ang)], -1).astype(np.float32)
+    mask = np.zeros(max_points, bool)
+    mask[:n_points] = True
+    pts[n_points:] = 0
+    center = np.array([*center_xy, 0.3], np.float32)
+    return (spec, jnp.asarray(probs), jnp.asarray(pts), jnp.asarray(mask),
+            n_points, jnp.asarray(center))
+
+
+def _check_tiled(params, setup):
+    from roborts_slam_tpu.ops.pallas.correlation import plan_tiles
+
+    spec, probs, pts, mask, n, center = setup
+    ty, tx, crop = plan_tiles(spec)
+    assert ty * tx > 1, f"test must exercise tiling, got plan {(ty, tx, crop)}"
+    s_ref, a_ref, *_ = score_candidates(
+        spec, params, probs, jnp.zeros(2), pts, mask, n, center)
+    s_pal, a_pal, *_ = score_candidates_pallas(
+        spec, params, probs, jnp.zeros(2), pts, mask, n, center,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a_pal), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pal), atol=6e-3)
+
+
+def test_tiled_slab_multi_tile_parity():
+    """2560-cell map @ 1 cm with 12 m beams -> 2x2 slab tiles."""
+    setup = _tiled_setup(seed=7, n_points=80, res=0.01, size=2560,
+                         reach_m=12.0, coverage_m=14.0,
+                         center_xy=(1180.0, 1420.0))
+    _check_tiled(CorrelativeParams(0.2, 0.02, 0.06, 0.02, 0.6, 30, True,
+                                   FINE), setup)
+
+
+def test_tiled_slab_deinterleaved_tier():
+    """Large-stride (deinterleaved) tier on the tiled plan."""
+    setup = _tiled_setup(seed=8, n_points=60, res=0.01, size=2560,
+                         reach_m=12.0, coverage_m=14.0,
+                         center_xy=(1300.0, 1250.0))
+    _check_tiled(CorrelativeParams(0.6, 0.05, 0.07, 0.035, 0.6, 25, True,
+                                   COARSE), setup)
+
+
+def test_rm_shaped_long_range_parity():
+    """The rm scene shape (30 m lidar, 1 cm fine map): beams ~28 m from the
+    search center, far beyond one 2048-cell slab, some past the map edge.
+    Round-1 kernel silently scored all of them as default_prob."""
+    setup = _tiled_setup(seed=9, n_points=70, res=0.01, size=3584,
+                         reach_m=28.0, coverage_m=32.0,
+                         center_xy=(1700.0, 1500.0))
+    _check_tiled(CorrelativeParams(0.2, 0.02, 0.05, 0.025, 0.6, 25, True,
+                                   FINE), setup)
+
+
+def test_out_of_coverage_defaults():
+    """Bases outside the tiled coverage are outside the map and must score
+    exactly default_prob per sample (analytic compensation path)."""
+    setup = _tiled_setup(seed=10, n_points=50, res=0.01, size=2560,
+                         reach_m=25.0, coverage_m=14.0,
+                         center_xy=(2500.0, 60.0))
+    # beams reach far beyond coverage (14 m) — all their map cells are
+    # out-of-map here because the center sits at the map corner
+    spec, probs, pts, mask, n, center = setup
+    params = CorrelativeParams(0.2, 0.02, 0.05, 0.025, 0.6, 25, True, FINE)
+    s_ref, *_ = score_candidates(spec, params, probs, jnp.zeros(2), pts,
+                                 mask, n, center)
+    s_pal, *_ = score_candidates_pallas(spec, params, probs, jnp.zeros(2),
+                                        pts, mask, n, center, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pal),
+                               atol=6e-3)
+
+
 def test_randomized_config_sweep():
     """Property test: pallas == XLA scoring across randomized tier
     geometries (step sizes, window sizes, angle grids, scan sizes, map

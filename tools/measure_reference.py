@@ -133,6 +133,27 @@ def measure_ref(scene: str, realtime: float) -> dict:
     return result
 
 
+def _world_from_log(log) -> float:
+    """Preallocated world extent for an offline replay: the maps are centered
+    on the start pose, so they must span the farthest beam endpoint (the
+    reference instead grows its maps dynamically, grid_map_base.h:188-274)."""
+    la = log.laser
+    ang = np.linspace(la.angle_min, la.angle_max, la.num_beams)
+    start = log.odom[0, :2]
+    dmax = la.range_max
+    for i in range(0, len(log), 5):
+        p = log.odom[i]
+        r = log.ranges[i]
+        ok = (r > la.range_min) & (r < la.range_threshold)
+        if not ok.any():
+            continue
+        a = ang[ok] + p[2]
+        ex = p[0] + r[ok] * np.cos(a) - start[0]
+        ey = p[1] + r[ok] * np.sin(a) - start[1]
+        dmax = max(dmax, float(np.abs(np.concatenate([ex, ey])).max()))
+    return 2.0 * (dmax + 3.0)
+
+
 def measure_ours(scene: str) -> dict:
     from roborts_slam_tpu.config import load_config
     from roborts_slam_tpu.engine import SlamEngine
@@ -141,7 +162,16 @@ def measure_ours(scene: str) -> dict:
 
     log = ScanLog.load(os.path.join(OUT_DIR, f"{scene}.npz"))
     cfg = load_config("/root/reference/config/simulatin_param.yaml")
-    engine = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    world = _world_from_log(log)
+    # very large worlds: cap the scan-match maps with the rolling window
+    # (the engine's unbounded-world mode); 4x the lidar range keeps every
+    # beam inside the window between recenters
+    if world / cfg.fine_map_resolution > 4608:
+        window = 4.0 * log.laser.range_threshold + 2.0
+        if window < world:
+            cfg = cfg.replace(match_map_window=window)
+    engine = SlamEngine(cfg, log.laser, world_size=world,
+                        synchronous_backend=True)
 
     t0 = time.time()
     traj = engine.run_log(log, progress=True)
