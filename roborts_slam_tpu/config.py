@@ -114,6 +114,12 @@ class SlamConfig:
 
     running_range_max_distance: float = 5.0
     running_range_size: int = 70
+    # windowed front-end matching: match each scan against maps rebuilt from
+    # the running-range window instead of the accumulated match maps. The
+    # reference defines this path but ships it disabled
+    # (kUseRunningRangeScanMatch = false, slam_processor.h:265,
+    # slam_processor.cpp:134-159); here it is a live config option.
+    use_running_range_scan_match: bool = False
 
     # -- pose graph / loop closure (param_config.h:115-120) --
     loop_match_min_chain_size: int = 8

@@ -185,9 +185,15 @@ class SlamEngine:
         self._odom_history: list[tuple[float, np.ndarray]] = []
         # buffer donation reuses map arrays in place, but is only safe when
         # the back end cannot hold references across a later step
+        donate = (1,) if synchronous_backend else ()
         self._step = jax.jit(
-            frontend_step, static_argnames=("spec",),
-            donate_argnums=(1,) if synchronous_backend else ())
+            frontend_step, static_argnames=("spec",), donate_argnums=donate)
+        if config.use_running_range_scan_match:
+            from .frontend.processor import frontend_step_windowed
+
+            self._step_windowed = jax.jit(
+                frontend_step_windowed, static_argnames=("spec",),
+                donate_argnums=donate)
         self._pending_backend: list[tuple[int, np.ndarray]] = []
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
@@ -285,10 +291,21 @@ class SlamEngine:
 
         t0 = _time.perf_counter()
         with self._state_lock, self.timers.stage("frontend_step"):
-            self.state, info = self._step(
-                self.fspec, self.state, points, mask,
-                jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
-                jnp.asarray(odom, jnp.float32))
+            if (self.config.use_running_range_scan_match
+                    and len(self.store) > 0):
+                # windowed match path (slam_processor.cpp:134-159): the
+                # running-range window scans are the match map source
+                win = self.store.running_range_arrays(
+                    self.config.running_range_size)
+                self.state, info = self._step_windowed(
+                    self.fspec, self.state, *win, points, mask,
+                    jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
+                    jnp.asarray(odom, jnp.float32))
+            else:
+                self.state, info = self._step(
+                    self.fspec, self.state, points, mask,
+                    jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
+                    jnp.asarray(odom, jnp.float32))
         accepted = bool(info.map_updated)   # forces the dispatch to complete
         pose = np.asarray(info.pose, np.float64)
         self.diag.match_time_s += _time.perf_counter() - t0

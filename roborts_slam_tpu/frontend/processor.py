@@ -31,22 +31,33 @@ class FrontendSpec:
     coarse_spec: ProbMapSpec
     fine_spec: ProbMapSpec
     matcher: MatcherParams
+    # windowed-match map specs (use_running_range_scan_match): sized like the
+    # back-end chain maps, rebuilt from the running window around each scan
+    window_coarse_spec: ProbMapSpec | None = None
+    window_fine_spec: ProbMapSpec | None = None
 
     @staticmethod
     def from_config(config: SlamConfig, laser_range_max: float,
                     world_size: float | None = None) -> "FrontendSpec":
-        from ..models.grid_map import pub_map_spec, scan_match_map_specs
+        from ..models.grid_map import (
+            backend_map_specs, pub_map_spec, scan_match_map_specs,
+        )
 
         if world_size is None:
             world_size = config.derived_world_size(laser_range_max)
         coarse, fine = scan_match_map_specs(
             config, world_size, coverage_m=laser_range_max + 2.0)
+        wcoarse = wfine = None
+        if config.use_running_range_scan_match:
+            wcoarse, wfine = backend_map_specs(config, laser_range_max)
         return FrontendSpec(
             config=config,
             pub_spec=pub_map_spec(config, laser_range_max, world_size),
             coarse_spec=coarse,
             fine_spec=fine,
             matcher=MatcherParams.from_config(config),
+            window_coarse_spec=wcoarse,
+            window_fine_spec=wfine,
         )
 
     def world_size(self) -> float:
@@ -100,7 +111,61 @@ def init_frontend_state(spec: FrontendSpec) -> FrontendState:
 def frontend_step(spec: FrontendSpec, state: FrontendState,
                   points, mask, n_valid, last_odom, cur_odom
                   ) -> tuple[FrontendState, StepInfo]:
-    """One scan through the front end (slam_processor.cpp:65-247)."""
+    """One scan through the front end (slam_processor.cpp:65-247), matching
+    against the accumulated scan-match maps (the reference's default path)."""
+    return _frontend_core(
+        spec, state,
+        spec.fine_spec, state.fine, spec.coarse_spec, state.coarse,
+        points, mask, n_valid, last_odom, cur_odom)
+
+
+def frontend_step_windowed(spec: FrontendSpec, state: FrontendState,
+                           win_points, win_masks, win_poses, win_valid,
+                           points, mask, n_valid, last_odom, cur_odom
+                           ) -> tuple[FrontendState, StepInfo]:
+    """Windowed variant (use_running_range_scan_match): the match maps are
+    rebuilt from the running-range window scans, recentered on the odometry
+    prediction — the reference's disabled windowed path
+    (slam_processor.cpp:134-159) built the same maps via
+    ResetScanMatchMapWithRangeVec (:448-462). The persistent maps are still
+    updated normally afterwards (UpdateMap runs on all maps either way)."""
+    from ..models.grid_map import make_prob_map
+    from ..ops.raster import stamp_scan_batch
+
+    cfg = spec.config
+    if cfg.use_odometry:
+        predict = predict_pose_by_odom(state.pose, last_odom, cur_odom)
+    else:
+        predict = state.pose
+
+    def window_map(pspec):
+        size_x = pspec.width * pspec.resolution
+        size_y = pspec.height * pspec.resolution
+        off = jnp.stack([-(predict[0] - 0.5 * size_x),
+                         -(predict[1] - 0.5 * size_y)])
+        return make_prob_map(pspec, off)
+
+    wfine = stamp_scan_batch(spec.window_fine_spec,
+                             window_map(spec.window_fine_spec),
+                             win_points, win_masks, win_poses, win_valid,
+                             use_blur=cfg.fine_map_use_blur)
+    wcoarse = stamp_scan_batch(spec.window_coarse_spec,
+                               window_map(spec.window_coarse_spec),
+                               win_points, win_masks, win_poses, win_valid,
+                               use_blur=cfg.coarse_map_use_blur)
+    return _frontend_core(
+        spec, state,
+        spec.window_fine_spec, wfine, spec.window_coarse_spec, wcoarse,
+        points, mask, n_valid, last_odom, cur_odom)
+
+
+def _frontend_core(spec: FrontendSpec, state: FrontendState,
+                   match_fine_spec: ProbMapSpec, match_fine: ProbMap,
+                   match_coarse_spec: ProbMapSpec, match_coarse: ProbMap,
+                   points, mask, n_valid, last_odom, cur_odom
+                   ) -> tuple[FrontendState, StepInfo]:
+    """Shared front-end step: predict → match (against the given maps) →
+    penalty → gates → persistent map updates."""
     cfg = spec.config
     is_first = state.scan_index == 0
 
@@ -113,8 +178,8 @@ def frontend_step(spec: FrontendSpec, state: FrontendState,
     # --- scan match (:133-149) — skipped for the first scan (:120) ---
     out = scan_match(
         spec.matcher,
-        spec.fine_spec, state.fine.probs, state.fine.offset,
-        spec.coarse_spec, state.coarse.probs, state.coarse.offset,
+        match_fine_spec, match_fine.probs, match_fine.offset,
+        match_coarse_spec, match_coarse.probs, match_coarse.offset,
         points, mask, n_valid, predict,
     )
 

@@ -120,3 +120,25 @@ def test_async_backend_survives_finish(icra_log):
     eng.finish()
     assert eng.backend.num_links > links_before, (
         "backend thread did not restart after finish()")
+
+
+def test_windowed_running_range_match(icra_log):
+    """use_running_range_scan_match: the engine matches against maps rebuilt
+    from the running-range window (the reference's disabled windowed path,
+    slam_processor.cpp:134-159, enabled here via config)."""
+    log = icra_log
+    cfg = _small_config().replace(use_running_range_scan_match=True,
+                                  running_range_size=12)
+    engine = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    n = min(120, len(log))
+    for i in range(n):
+        engine.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    assert engine.fspec.window_fine_spec is not None
+    assert engine.diag.scans_processed > 10, engine.diag
+    traj = engine.trajectory_array()
+    est, gt = match_by_time(traj, log.gt_poses, log.times)
+    ate = ate_rmse(est, gt)
+    odom_est = log.odom[np.searchsorted(log.times, traj[:, 0]).clip(0, len(log) - 1)]
+    ate_odom = ate_rmse(odom_est, gt)
+    print(f"windowed ATE={ate:.3f} odom={ate_odom:.3f}")
+    assert ate < 0.15 and np.isfinite(ate)

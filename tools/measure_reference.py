@@ -192,6 +192,81 @@ def measure_ours(scene: str) -> dict:
     }
 
 
+def _engine_for_scene(scene: str):
+    from roborts_slam_tpu.config import load_config
+    from roborts_slam_tpu.engine import SlamEngine
+    from roborts_slam_tpu.io.scan_log import ScanLog
+
+    log = ScanLog.load(os.path.join(OUT_DIR, f"{scene}.npz"))
+    cfg = load_config("/root/reference/config/simulatin_param.yaml")
+    world = _world_from_log(log)
+    if world / cfg.fine_map_resolution > 4608:
+        window = 4.0 * log.laser.range_threshold + 2.0
+        if window < world:
+            cfg = cfg.replace(match_map_window=window)
+    return SlamEngine(cfg, log.laser, world_size=world,
+                      synchronous_backend=True), log
+
+
+def measure_ours_tpu(scene: str, warm_scans: int = 40) -> dict:
+    """Device-timed front-end throughput on the real TPU.
+
+    Wall-clock through the dispatch tunnel is dominated by a ~30-45 ms
+    content-independent floor, so per-scan latency is measured with the
+    two-point K-slope protocol (roborts_slam_tpu/bench/timing.py): K
+    front-end steps chained in ONE jitted program over genuine engine state
+    (maps built by replaying the first ``warm_scans`` scans of the same
+    log), real scan points, slope of t(K2)-t(K1). This mirrors the
+    reference's per-scan front-end ms (mean_process_ms_kept)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    assert jax.default_backend() == "tpu", (
+        "ours-tpu must run on the TPU backend (no JAX_PLATFORMS=cpu)")
+
+    from roborts_slam_tpu.bench.timing import k_slope
+    from roborts_slam_tpu.frontend.processor import frontend_step
+
+    engine, log = _engine_for_scene(scene)
+    n_warm = min(warm_scans, len(log))
+    for i in range(n_warm):
+        engine.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    assert len(engine.store) >= 2, "warmup kept no scans"
+
+    state0 = engine.state
+    spec = engine.fspec
+    pts, msk, nv = engine.store.scan_arrays(len(engine.store) - 1)
+    odom = jnp.asarray(engine.store.odoms[-1], jnp.float32)
+
+    def make_chain(K):
+        @jax.jit
+        def chained(state, seed):
+            def body(i, st):
+                # perturb the odom pair per iteration: keeps every step's
+                # inputs data-dependent on i (nothing folds) while the
+                # workload stays the per-kept-scan front-end cost
+                d = 1e-5 * (i + 1) + seed * 1e-7
+                st2, info = frontend_step(spec, st, pts, msk, nv,
+                                          odom, odom + d)
+                return st2
+            out = jax.lax.fori_loop(0, K, body, state)
+            return out.pose.sum() + out.scan_index
+
+        return lambda seed: chained(state0, jnp.float32(seed))
+
+    per_scan_s = k_slope(make_chain, k_points=(8, 24), reps=3)
+    return {
+        "scene": scene,
+        "method": "k-slope chained frontend_step on real engine state",
+        "warm_scans_kept": len(engine.store),
+        "frontend_ms_per_scan": per_scan_s * 1000.0,
+        "scans_per_sec": 1.0 / per_scan_s,
+    }
+
+
 def render_report(res: dict) -> str:
     lines = [
         "# BASELINE_MEASURED — reference vs TPU engine on identical logs",
@@ -210,33 +285,36 @@ def render_report(res: dict) -> str:
         "",
     ]
     scenes = sorted({k.split("/")[1] for k in res if "/" in k})
-    # ATE + throughput table
+    # ATE + throughput table. ours ATE: full CPU replay of the identical log
+    # (quality is backend-independent). ours ms/scan + scans/s: device-timed
+    # on the real TPU via the K-slope protocol (measure_ours_tpu), mirroring
+    # the reference's per-kept-scan front-end time.
     lines += ["## End-to-end quality + throughput", "",
               "| Scene | ref ATE (m) | ours ATE (m) | ATE ratio | odom-only"
-              " ATE (m) | ref ms/scan | ours ms/scan | ref scans/s |"
-              " ours scans/s | speedup |",
+              " ATE (m) | ref ms/scan | ours ms/scan (TPU) | ref scans/s |"
+              " ours scans/s (TPU) | speedup |",
               "|---|---|---|---|---|---|---|---|---|---|"]
     for s in scenes:
         r = res.get(f"ref/{s}") or res.get(f"ref_rt/{s}")
         rq = res.get(f"ref_rt/{s}") or r   # quality from paced run if present
         o = res.get(f"ours/{s}")
+        ot = res.get(f"ours_tpu/{s}")
         if not r:
             continue
         ref_ate = rq["ate_m"]
         ref_ms = r["mean_process_ms_kept"]
         ref_sps = r.get("scans_per_sec", 0.0)
-        if o:
-            ratio = o["ate_m"] / ref_ate if ref_ate > 0 else float("nan")
-            speedup = o["scans_per_sec"] / ref_sps if ref_sps else float("nan")
-            lines.append(
-                f"| {s} | {ref_ate:.3f} | {o['ate_m']:.3f} | {ratio:.2f}x |"
-                f" {rq['odom_ate_m']:.3f} | {ref_ms:.1f} |"
-                f" {1000.0/o['scans_per_sec']:.1f} | {ref_sps:.1f} |"
-                f" {o['scans_per_sec']:.1f} | {speedup:.1f}x |")
-        else:
-            lines.append(
-                f"| {s} | {ref_ate:.3f} | — | — | {rq['odom_ate_m']:.3f} |"
-                f" {ref_ms:.1f} | — | {ref_sps:.1f} | — | — |")
+        ate_s = f"{o['ate_m']:.3f}" if o else "—"
+        ratio_s = (f"{o['ate_m'] / ref_ate:.2f}x"
+                   if o and ref_ate > 0 else "—")
+        ms_s = f"{ot['frontend_ms_per_scan']:.2f}" if ot else "—"
+        sps_s = f"{ot['scans_per_sec']:.0f}" if ot else "—"
+        speed_s = (f"{ot['scans_per_sec'] / ref_sps:.1f}x"
+                   if ot and ref_sps else "—")
+        lines.append(
+            f"| {s} | {ref_ate:.3f} | {ate_s} | {ratio_s} |"
+            f" {rq['odom_ate_m']:.3f} | {ref_ms:.1f} | {ms_s} |"
+            f" {ref_sps:.1f} | {sps_s} | {speed_s} |")
     lines.append("")
 
     lines += ["## Reference per-stage ms (mean, unthrottled replay)", "",
@@ -267,7 +345,7 @@ def render_report(res: dict) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["ref", "ours", "report"])
+    ap.add_argument("mode", choices=["ref", "ours", "ours-tpu", "report"])
     ap.add_argument("--scenes", nargs="*", default=["icra", "rm", "willow"])
     ap.add_argument("--realtime", type=float, default=0.0,
                     help="pace the reference replay at N x real time")
@@ -289,6 +367,12 @@ def main() -> None:
             res[f"ours/{scene}"] = measure_ours(scene)
             save_results(res)
             print(json.dumps(res[f"ours/{scene}"], indent=2))
+    elif args.mode == "ours-tpu":
+        ensure_logs(args.scenes)
+        for scene in args.scenes:
+            res[f"ours_tpu/{scene}"] = measure_ours_tpu(scene)
+            save_results(res)
+            print(json.dumps(res[f"ours_tpu/{scene}"], indent=2))
     else:
         report = render_report(res)
         with open(os.path.join(REPO, "BASELINE_MEASURED.md"), "w") as f:
