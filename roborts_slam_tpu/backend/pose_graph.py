@@ -81,20 +81,28 @@ class PoseGraph:
 
     # ---- traversal / chain discovery (all NumPy over barycenters) ----
 
+    def _near_mask(self, scan_id: int, barycenters: np.ndarray,
+                   strict: bool) -> np.ndarray:
+        """Vectorized distance gate: one fused pass over the (N, 2)
+        barycenter array instead of a python-scalar test per vertex (the
+        round-1 O(N)-python-calls hot spot at mega-sequence scale)."""
+        center = barycenters[scan_id, :2]
+        d2 = np.sum((barycenters[:, :2] - center[None]) ** 2, axis=1)
+        max_d2 = self.link_scan_max_distance**2
+        return (d2 < max_d2) if strict else (d2 <= max_d2)
+
     def find_near_linked_scans(self, scan_id: int, barycenters: np.ndarray
                                ) -> list[int]:
         """BFS keeping vertices within link_scan_max_distance of scan_id's
         barycenter (FindNearLinkedScans + NearScanVisitor,
         range_scan_pose_graph.cpp:272-297)."""
-        center = barycenters[scan_id, :2]
-        max_d2 = self.link_scan_max_distance**2
+        near = self._near_mask(scan_id, barycenters, strict=False)
         visited = {scan_id}
         out = []
         queue = [scan_id]
         while queue:
             v = queue.pop(0)
-            d2 = float(np.sum((barycenters[v, :2] - center) ** 2))
-            if d2 <= max_d2:
+            if near[v]:
                 out.append(v)
                 for nb in self.adjacency[v]:
                     if nb not in visited:
@@ -105,8 +113,7 @@ class PoseGraph:
     def find_near_chains(self, scan_id: int, barycenters: np.ndarray
                          ) -> list[list[int]]:
         """FindNearChainsIds (range_scan_pose_graph.cpp:207-270)."""
-        center = barycenters[scan_id, :2]
-        max_d2 = self.link_scan_max_distance**2
+        near_m = self._near_mask(scan_id, barycenters, strict=True)
         near = self.find_near_linked_scans(scan_id, barycenters)
         processed = set()
         chains = []
@@ -120,8 +127,7 @@ class PoseGraph:
             for cand in range(near_id - 1, -1, -1):
                 if cand == scan_id:
                     valid = False
-                d2 = float(np.sum((barycenters[cand, :2] - center) ** 2))
-                if d2 < max_d2:
+                if near_m[cand]:
                     chain.insert(0, cand)
                     processed.add(cand)
                 else:
@@ -130,8 +136,7 @@ class PoseGraph:
             for cand in range(near_id + 1, n):
                 if cand == scan_id:
                     valid = False
-                d2 = float(np.sum((barycenters[cand, :2] - center) ** 2))
-                if d2 < max_d2:
+                if near_m[cand]:
                     chain.append(cand)
                     processed.add(cand)
                 else:
@@ -157,26 +162,51 @@ class PoseGraph:
     def find_possible_loop_closure(self, scan_id: int, barycenters: np.ndarray,
                                    start_id: int) -> tuple[list[int], int]:
         """FindPossibleLoopClosure (range_scan_pose_graph.cpp:357-392):
-        returns (chain, next_start_id)."""
-        center = barycenters[scan_id, :2]
-        max_d2 = self.link_scan_max_distance**2
-        near_linked = set(self.find_near_linked_scans(scan_id, barycenters))
-        chain: list[int] = []
+        returns (chain, next_start_id). Vectorized run-walk over the near
+        mask — identical to the reference's per-candidate loop: near cells
+        accumulate a chain, a near-but-graph-linked cell resets it, a far
+        cell terminates it (returned if >= min chain size)."""
         n = scan_id  # scans_num = current_data_index (scans before current)
-        cand = start_id
-        while cand < n:
-            d2 = float(np.sum((barycenters[cand, :2] - center) ** 2))
-            if d2 < max_d2:
-                if cand in near_linked:
-                    chain = []
-                else:
-                    chain.append(cand)
-            else:
-                if len(chain) >= self.loop_match_min_chain_size:
-                    return chain, cand + 1
-                chain = []
-            cand += 1
-        return (chain if len(chain) >= self.loop_match_min_chain_size else []), cand
+        if start_id >= n:
+            return [], n
+        near_m = self._near_mask(scan_id, barycenters, strict=True)[:n]
+        linked = np.zeros(n, bool)
+        for v in self.find_near_linked_scans(scan_id, barycenters):
+            if v < n:
+                linked[v] = True
+
+        # a returned chain is a maximal contiguous run of candidate cells
+        # (near & not graph-linked) terminated by a FAR cell or the array
+        # end; a run terminated by a linked-near cell is discarded (the
+        # reference resets the chain without a length check there)
+        cand = near_m & ~linked
+        pos = start_id
+        while pos < n:
+            rest = cand[pos:]
+            if not rest.any():
+                return [], n
+            a = pos + int(np.argmax(rest))                 # run start
+            after = ~cand[a:]
+            b = a + int(np.argmax(after)) if after.any() else n  # run end
+            if (b - a >= self.loop_match_min_chain_size
+                    and (b >= n or not near_m[b])):
+                return list(range(a, b)), b + 1
+            pos = b + 1
+        return [], n
+
+    def find_all_loop_candidates(self, scan_id: int, barycenters: np.ndarray
+                                 ) -> list[list[int]]:
+        """All candidate loop chains for a scan in one pass (the batched
+        verification path drains them in a single device dispatch instead of
+        one dispatch per chain)."""
+        chains = []
+        start = 0
+        while True:
+            chain, start = self.find_possible_loop_closure(
+                scan_id, barycenters, start)
+            if not chain:
+                return chains
+            chains.append(chain)
 
     @staticmethod
     def find_closest_scan_id(chain: list[int], scan_id: int,

@@ -64,17 +64,18 @@ class BackendSpec:
 @partial(jax.jit, static_argnames=("spec",))
 def chain_match_batch(spec: BackendSpec,
                       chain_points, chain_masks, chain_poses, chain_valid,
-                      points, mask, n_valid, init_pose, center_pose,
+                      points, mask, n_valid, init_poses, center_pose,
                       pub_hits, pub_passes, pub_offset):
-    """All candidate chains of one LinkNearChains pass matched in ONE
-    device dispatch (vmap over the leading chain dim; the current scan and
-    pub map are shared). The reference loops chains serially on one thread
+    """All candidate chains of one LinkNearChains / TryCloseLoop pass
+    matched in ONE device dispatch (vmap over the leading chain dim; the
+    current scan and pub map are shared, the init pose is per-chain). The
+    reference loops chains serially on one thread
     (range_scan_pose_graph.cpp:125-164)."""
     return jax.vmap(
-        lambda cp, cm, cpo, cv: chain_match(
-            spec, cp, cm, cpo, cv, points, mask, n_valid, init_pose,
+        lambda cp, cm, cpo, cv, ip: chain_match(
+            spec, cp, cm, cpo, cv, points, mask, n_valid, ip,
             center_pose, pub_hits, pub_passes, pub_offset)
-    )(chain_points, chain_masks, chain_poses, chain_valid)
+    )(chain_points, chain_masks, chain_poses, chain_valid, init_poses)
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -165,15 +166,23 @@ class Backend:
     _BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
     def _match_chain_batch(self, chain_id_lists: list[list[int]],
-                           scan_id: int, init_pose: np.ndarray):
+                           scan_id: int, init_poses: np.ndarray):
         """Match one scan against B chains in a single dispatch. B pads up
         to a bucket size (bounded recompilation); padded slots carry empty
-        chains, whose near-default score falls below every link threshold."""
+        chains, whose near-default score falls below every link threshold.
+        ``init_poses``: (3,) shared by all chains, or (B, 3) per-chain."""
         st = self.store
         K = self.spec.max_chain_scans
         B = len(chain_id_lists)
         bucket = next(b for b in self._BATCH_BUCKETS if b >= B) \
             if B <= self._BATCH_BUCKETS[-1] else B
+        inits = np.asarray(init_poses, np.float32)
+        if inits.ndim == 1:
+            inits = np.tile(inits[None], (bucket, 1))
+        else:
+            assert inits.shape[0] == B
+            inits = np.concatenate(
+                [inits, np.zeros((bucket - B, 3), np.float32)])
         gathered = [st.gather_chain(ids[:K], K) for ids in chain_id_lists]
         empty = st.gather_chain([], K)
         gathered += [empty] * (bucket - B)
@@ -185,7 +194,7 @@ class Backend:
         bpose, bscore, bcov = chain_match_batch(
             self.spec, pts, msk, poses, valid,
             *st.scan_arrays(scan_id),
-            jnp.asarray(init_pose, jnp.float32),
+            jnp.asarray(inits),
             jnp.asarray(st.poses[scan_id], jnp.float32),
             *pub,
         )
@@ -244,32 +253,51 @@ class Backend:
     # ---- loop closure (TryCloseLoop, range_scan_pose_graph.cpp:299-355) ----
 
     def try_close_loop(self, scan_id: int) -> bool:
+        """TryCloseLoop with batched verification: ALL candidate chains are
+        coarse-matched in one device dispatch (the reference — and round 1 —
+        matched them one at a time, range_scan_pose_graph.cpp:299-355), the
+        survivors fine-matched in a second dispatch, and the first fine
+        acceptance closes the loop. A closure corrects every pose, so the
+        remaining candidates are re-discovered against the corrected
+        barycenters (the accepted chain becomes graph-linked and drops out),
+        matching the reference's rescan-after-correction behavior."""
         cfg = self.spec.config
         closed = False
-        start_id = 0
-        bary = self.store.barycenters()
-        chain, start_id = self.graph.find_possible_loop_closure(
-            scan_id, bary, start_id)
-        while chain:
-            best_pose = self.store.poses[scan_id].copy()
-            pose, coarse_resp, cov = self._match_against_chain(
-                chain, scan_id, best_pose)
-            ok = (coarse_resp > cfg.loop_match_min_response_coarse
-                  and cov[0, 0] < cfg.loop_match_max_variance_coarse
-                  and cov[1, 1] < cfg.loop_match_max_variance_coarse)
-            if ok:
-                fine_pose, fine_resp, fine_cov = self._match_against_chain(
-                    chain, scan_id, pose)
+        for _round in range(8):        # closures per scan are few; bound it
+            bary = self.store.barycenters()
+            chains = self.graph.find_all_loop_candidates(scan_id, bary)
+            if not chains:
+                break
+            init = self.store.poses[scan_id].copy()
+            coarse = self._match_chain_batch(chains, scan_id, init)
+            passing = [
+                (chain, pose) for chain, (pose, resp, cov) in zip(chains, coarse)
+                if (resp > cfg.loop_match_min_response_coarse
+                    and cov[0, 0] < cfg.loop_match_max_variance_coarse
+                    and cov[1, 1] < cfg.loop_match_max_variance_coarse)
+            ]
+            if not passing:
+                break
+            # fine re-match from each coarse pose (second verification stage,
+            # range_scan_pose_graph.cpp:329-333) — one dispatch for all
+            fine_results = self._match_chain_batch(
+                [c for c, _ in passing], scan_id,
+                np.stack([p for _, p in passing]).astype(np.float32))
+            fine = [(chain,) + res
+                    for (chain, _), res in zip(passing, fine_results)]
+            accepted = False
+            for chain, fine_pose, fine_resp, fine_cov in fine:
                 if fine_resp >= cfg.loop_match_min_response_fine:
-                    # accept: move the scan, link, solve, correct
                     self.store.set_pose(scan_id, fine_pose)
-                    self._link_chain_to_scan(chain, scan_id, fine_pose, fine_cov)
+                    self._link_chain_to_scan(chain, scan_id, fine_pose,
+                                             fine_cov)
                     self._solve_and_correct()
                     closed = True
+                    accepted = True
                     self.num_loop_closures += 1
-                    bary = self.store.barycenters()
-            chain, start_id = self.graph.find_possible_loop_closure(
-                scan_id, bary, start_id)
+                    break          # corrections moved everything: re-discover
+            if not accepted:
+                break
         return closed
 
     def force_optimize(self):

@@ -49,6 +49,12 @@ class ScanStore:
         self.odoms: list[np.ndarray] = []
         self.times: list[float] = []
         self._pub_arrays = None                  # set by engine each frontend step
+        # incremental barycenter cache: O(1) append, invalidated only by
+        # pose corrections (the round-1 version rebuilt the full (N, 3)
+        # array from python lists on every back-end call — O(N) per scan,
+        # O(N^2) per run)
+        self._bary = np.zeros((256, 3), np.float64)
+        self._bary_dirty_from = 0
         # running-range sliding window (UpdateRunningRange,
         # sensor_data_manager.h:540-558): most recent scan ids bounded by
         # count and by span of their sensor x/y positions
@@ -71,6 +77,10 @@ class ScanStore:
         self.odoms.append(np.asarray(odom, np.float64).copy())
         self.times.append(float(t))
         sid = len(self._points) - 1
+        if sid >= self._bary.shape[0]:
+            grown = np.zeros((2 * self._bary.shape[0], 3), np.float64)
+            grown[:self._bary.shape[0]] = self._bary
+            self._bary = grown
         self._update_running_range(sid)
         return sid
 
@@ -90,19 +100,31 @@ class ScanStore:
 
     def set_pose(self, scan_id: int, pose: np.ndarray):
         self.poses[scan_id] = np.asarray(pose, np.float64).copy()
+        self._bary_dirty_from = min(self._bary_dirty_from, scan_id)
 
     def poses_array(self) -> np.ndarray:
         return np.asarray(self.poses)
 
-    def barycenters(self) -> np.ndarray:
-        """World barycenter pose per scan (UpdateBarycenterPose,
-        sensor_data_manager.h:214-238): pose ⊕ local centroid, keeping yaw."""
-        poses = self.poses_array()
-        cent = np.asarray(self._centroids)
+    def _bary_of(self, ids) -> np.ndarray:
+        """pose ⊕ local centroid, keeping yaw (UpdateBarycenterPose,
+        sensor_data_manager.h:214-238)."""
+        poses = np.asarray([self.poses[i] for i in ids])
+        cent = np.asarray([self._centroids[i] for i in ids])
         c, s = np.cos(poses[:, 2]), np.sin(poses[:, 2])
         bx = poses[:, 0] + c * cent[:, 0] - s * cent[:, 1]
         by = poses[:, 1] + s * cent[:, 0] + c * cent[:, 1]
         return np.stack([bx, by, poses[:, 2]], -1)
+
+    def barycenters(self) -> np.ndarray:
+        """World barycenter pose per scan, served from the incremental
+        cache: appends fill rows as scans arrive; pose corrections mark a
+        dirty suffix that is recomputed lazily in one vectorized pass."""
+        n = len(self)
+        if self._bary_dirty_from < n:
+            ids = range(self._bary_dirty_from, n)
+            self._bary[self._bary_dirty_from:n] = self._bary_of(ids)
+            self._bary_dirty_from = n
+        return self._bary[:n]
 
     def scan_arrays(self, scan_id: int):
         return (jnp.asarray(self._points[scan_id]),

@@ -179,6 +179,7 @@ def measure_ours(scene: str) -> dict:
 
     est, gt = match_by_time(traj, log.gt_poses, log.times)
     ate = ate_rmse(est, gt, align=True)
+    np.save(os.path.join(OUT_DIR, f"{scene}_ours_traj.npy"), traj)
     timers = {name: s.mean_ms for name, s in engine.timers.stages.items()}
     return {
         "scene": scene,
