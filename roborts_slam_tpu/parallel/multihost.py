@@ -32,7 +32,16 @@ def initialize_distributed(coordinator_address: str | None = None,
                            process_id: int | None = None) -> None:
     """Bring up the multi-host runtime (jax.distributed.initialize). On a
     real pod the args come from the launcher env; no-ops when single-process
-    args are absent and env autodetection finds nothing."""
+    args are absent and env autodetection finds nothing. On the CPU backend
+    cross-process collectives need the gloo transport (the multi-process
+    test path, SURVEY §4: multi-host tests on CPU)."""
+    # must not touch the backend before jax.distributed.initialize (even
+    # jax.default_backend() would initialise XLA), so set unconditionally;
+    # the option only affects the CPU backend
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jax without the option
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
