@@ -70,6 +70,22 @@ class SlamConfig:
     max_update_angle: float = 0.2
     optimize_failed_cost: float = 20.0
 
+    # -- fast (branch-and-bound) correlative match --
+    # The reference wires a BnB matcher but its call site is disabled
+    # (FAST_CORRELATION_SCAN_MATCH, scan_matchers.h:266-273, params
+    # hard-coded :337-344). Here it is selectable: it replaces the coarse
+    # correlative stage with a beam search over max-pooled score bounds
+    # (ops/branch_and_bound.py). Defaults mirror the reference block.
+    use_fast_correlation_match: bool = False
+    fast_match_space_size: float = 0.8
+    fast_match_space_resolution: float = 0.01
+    fast_match_angle_offset: float = 0.523
+    fast_match_angle_resolution: float = 0.00349
+    fast_match_response_threshold: float = 0.5
+    fast_match_use_point_size: int = 100
+    fast_match_max_depth: int = 4
+    fast_match_beam_width: int = 256
+
     # -- correlative search tiers (param_config.h:71-90) --
     coarse_search_space_size: float = 0.8
     coarse_search_space_resolution: float = 0.1

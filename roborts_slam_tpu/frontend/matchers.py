@@ -36,6 +36,9 @@ class MatcherParams:
     optimize: OptimizeParams
     use_optimize_scan_match: bool
     optimize_failed_cost: float
+    # branch-and-bound replacement for the coarse stage (None = disabled);
+    # the reference's FAST_CORRELATION_SCAN_MATCH (scan_matchers.h:266-273)
+    bnb: "object | None" = None
 
     @staticmethod
     def from_config(config: SlamConfig, use_center_penalty: bool | None = None
@@ -77,7 +80,24 @@ class MatcherParams:
             ),
             use_optimize_scan_match=config.use_optimize_scan_match,
             optimize_failed_cost=config.optimize_failed_cost,
+            bnb=(_bnb_params(config)
+                 if config.use_fast_correlation_match else None),
         )
+
+
+def _bnb_params(config: SlamConfig):
+    from ..ops.branch_and_bound import BnBParams
+
+    return BnBParams(
+        search_space_size=config.fast_match_space_size,
+        search_space_resolution=config.fast_match_space_resolution,
+        search_angle_offset=config.fast_match_angle_offset,
+        search_angle_resolution=config.fast_match_angle_resolution,
+        response_threshold=config.fast_match_response_threshold,
+        use_point_size=config.fast_match_use_point_size,
+        max_depth=config.fast_match_max_depth,
+        beam_width=config.fast_match_beam_width,
+    )
 
 
 class ScanMatchOutput(NamedTuple):
@@ -115,6 +135,17 @@ def scan_match(params: MatcherParams,
                                           init_pose)
 
     def run_coarse(start_pose, cov_in):
+        if params.bnb is not None:
+            # FAST_CORRELATION_SCAN_MATCH stage (scan_matchers.h:266-273):
+            # branch-and-bound over max-pooled bounds replaces the dense
+            # coarse sweep; covariance stays cov_in — with the fine passes
+            # on, the fine/super tiers rewrite it anyway (:247-261)
+            from ..ops.branch_and_bound import bnb_scan_match
+
+            res = bnb_scan_match(fine_spec, params.bnb, fine_probs,
+                                 fine_offset, points, mask, n_valid,
+                                 start_pose)
+            return res.pose, jnp.minimum(res.response, 1.0), cov_in
         res = correlative_scan_match(fine_spec, params.coarse, fine_probs,
                                      fine_offset, points, mask, n_valid,
                                      start_pose, cov_in,

@@ -80,3 +80,43 @@ def test_bnb_low_score_keeps_pose():
                          points, mask, jnp.int32(n), far)
     assert float(res.response) <= 0.5
     np.testing.assert_allclose(np.asarray(res.pose), np.asarray(far), atol=1e-6)
+
+
+def test_engine_with_fast_correlation_match():
+    """e2e equivalence: the BnB coarse stage (use_fast_correlation_match)
+    tracks the dense 3-tier stack on an icra slice (VERDICT r1 item 7)."""
+    import numpy as np
+
+    from roborts_slam_tpu.engine import SlamEngine
+    from roborts_slam_tpu.io.scenes import SCENES, load_scene_map
+    from roborts_slam_tpu.io.simulate import simulate_log
+    from roborts_slam_tpu.utils.evaluation import ate_rmse, match_by_time
+    from tests.test_e2e_small import _small_config
+
+    sc = SCENES["icra"]
+    gt = load_scene_map(sc)
+    log = simulate_log(gt, sc.laser, odom_error=sc.odom_error,
+                       range_noise=0.005, seed=7)
+    n = min(150, len(log))
+
+    def run(cfg):
+        eng = SlamEngine(cfg, log.laser, synchronous_backend=True)
+        for i in range(n):
+            eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+        traj = eng.trajectory_array()
+        est, g = match_by_time(traj, log.gt_poses, log.times)
+        return ate_rmse(est, g), eng.diag.scans_processed
+
+    base_cfg = _small_config()
+    bnb_cfg = base_cfg.replace(
+        use_fast_correlation_match=True,
+        fast_match_space_size=0.64, fast_match_space_resolution=0.02,
+        fast_match_angle_offset=0.349, fast_match_angle_resolution=0.0349,
+        fast_match_response_threshold=0.5, fast_match_use_point_size=100,
+        fast_match_max_depth=3, fast_match_beam_width=64)
+    ate_dense, kept_dense = run(base_cfg)
+    ate_bnb, kept_bnb = run(bnb_cfg)
+    print(f"dense ATE={ate_dense:.3f} kept={kept_dense}; "
+          f"bnb ATE={ate_bnb:.3f} kept={kept_bnb}")
+    assert kept_bnb > 10
+    assert ate_bnb < max(1.5 * ate_dense, 0.1), (ate_bnb, ate_dense)
