@@ -123,7 +123,14 @@ def read_bag_messages(path: str):
             connections[conn] = (topic, mtype)
         elif op == OP_CHUNK:
             compression = hdr.get("compression", b"none").decode()
-            payload = bz2.decompress(data) if compression == "bz2" else data
+            if compression == "bz2":
+                payload = bz2.decompress(data)
+            elif compression == "lz4":
+                from .lz4 import decompress_frame
+
+                payload = decompress_frame(data)
+            else:
+                payload = data
             for chdr, cdata in _records(payload):
                 cop = chdr.get("op", b"\x00")[0]
                 if cop == OP_CONNECTION:

@@ -84,7 +84,14 @@ def _write_bag(path, chunked: bool, compression: str = "none"):
                          "chunk_count": (1).to_bytes(4, "little")},
                         b"\x20" * 4096))
         if chunked:
-            payload = bz2.compress(body) if compression == "bz2" else body
+            if compression == "bz2":
+                payload = bz2.compress(body)
+            elif compression == "lz4":
+                from roborts_slam_tpu.io.lz4 import compress_frame
+
+                payload = compress_frame(body)
+            else:
+                payload = body
             f.write(_record({"op": b"\x05", "compression": compression.encode(),
                              "size": len(body).to_bytes(4, "little")}, payload))
         else:
@@ -93,7 +100,7 @@ def _write_bag(path, chunked: bool, compression: str = "none"):
 
 
 @pytest.mark.parametrize("chunked,compression", [
-    (False, "none"), (True, "none"), (True, "bz2")])
+    (False, "none"), (True, "none"), (True, "bz2"), (True, "lz4")])
 def test_bag_roundtrip(tmp_path, chunked, compression):
     path = str(tmp_path / "test.bag")
     scans, odoms = _write_bag(path, chunked, compression)
@@ -110,3 +117,28 @@ def test_bag_roundtrip(tmp_path, chunked, compression):
     # odometry interpolated at scan times: scan 0 at t=10.0 sits between
     # odom samples at 9.95 (idx 0) and 10.05 (idx 1) -> midpoint
     np.testing.assert_allclose(log.odom[0], [0.05, -0.025, 0.01], atol=1e-9)
+
+
+def test_lz4_codec_vectors():
+    """The pure-python LZ4 codec: known-answer block vectors (match copies,
+    overlapping RLE copies, literal runs >= 15) and frame round-trips."""
+    from roborts_slam_tpu.io.lz4 import (
+        compress_frame, decompress_block, decompress_frame,
+    )
+
+    # hand-built block: 4 literals "abcd", then match offset=4 len=8
+    # -> "abcd" + "abcdabcd" (overlap-free copy), then literal tail "XYZWV"
+    blk = bytes([0x44]) + b"abcd" + struct.pack("<H", 4)
+    blk += bytes([0x50]) + b"XYZWV"
+    assert decompress_block(blk) == b"abcd" + b"abcdabcd" + b"XYZWV"
+
+    # overlapping copy (offset 1 = RLE): "a" then match offset=1 len=10
+    blk = bytes([0x16]) + b"a" + struct.pack("<H", 1) + bytes([0x50]) + b"tail."
+    assert decompress_block(blk) == b"a" * 11 + b"tail."
+
+    # frame round-trips across sizes/content types
+    rng = np.random.default_rng(0)
+    for data in (b"", b"short", b"ab" * 40000,
+                 rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes(),
+                 (b"laser scan segment " * 5000)):
+        assert decompress_frame(compress_frame(data)) == data
