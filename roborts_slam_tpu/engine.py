@@ -408,12 +408,18 @@ class SlamEngine:
         num = math.lcm(f.numerator * c.denominator, c.numerator * f.denominator)
         return num / (f.denominator * c.denominator)
 
+    _REBUILD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
     def _maybe_recenter(self, pose: np.ndarray):
         """Rolling-window scan-match maps (config.match_map_window): when
         the pose drifts beyond a quarter window from the window center,
-        shift the fine+coarse maps to re-center it. The pub map keeps the
-        global extent (it is the published product); the reference instead
-        grew all maps dynamically (grid_map_base.h:188-274)."""
+        re-center the fine+coarse maps on it. Newly covered area is NOT left
+        unknown: the maps are rebuilt from every stored scan whose beams can
+        reach the new window, so revisiting a long-left region matches
+        against real content exactly like the reference's ever-growing maps
+        (grid_map_base.h:188-274) instead of odometry-drifting through
+        forgotten cells until the window refills. The pub map keeps the
+        global extent (it is the published product)."""
         fs = self.fspec.fine_spec
         extent = np.array([fs.width, fs.height]) * fs.resolution
         off = np.asarray(self.state.fine.offset)
@@ -424,17 +430,41 @@ class SlamEngine:
             return
         g = self._shift_granule()
         shift_m = np.round(delta / g) * g                    # (dx, dy) meters
-        from .models.grid_map import shift_prob_map
-
-        cs = self.fspec.coarse_spec
         with self._state_lock:
-            fine = shift_prob_map(fs, self.state.fine, (
-                int(round(shift_m[1] / fs.resolution)),
-                int(round(shift_m[0] / fs.resolution))))
-            coarse = shift_prob_map(cs, self.state.coarse, (
-                int(round(shift_m[1] / cs.resolution)),
-                int(round(shift_m[0] / cs.resolution))))
-            self.state = self.state._replace(fine=fine, coarse=coarse)
+            self._rebuild_match_maps_at(
+                np.asarray(self.state.fine.offset) - shift_m,
+                np.asarray(self.state.coarse.offset) - shift_m)
+
+    def _rebuild_match_maps_at(self, fine_off: np.ndarray,
+                               coarse_off: np.ndarray):
+        """Fresh fine+coarse match maps at the given offsets, stamped from
+        all stored scans within beam reach of the new window (bucketed batch
+        sizes bound recompilation). Callers hold the state lock."""
+        cfg = self.config
+        fs, cs = self.fspec.fine_spec, self.fspec.coarse_spec
+        extent = np.array([fs.width, fs.height]) * fs.resolution
+        center_new = extent * 0.5 - fine_off
+        reach = 0.5 * float(extent.max()) + self.laser.range_threshold
+        poses = self.store.poses_array()
+        if len(poses):
+            d = np.abs(poses[:, :2] - center_new[None]).max(1)
+            ids = [int(i) for i in np.flatnonzero(d <= reach)]
+        else:
+            ids = []
+        bucket = next((b for b in self._REBUILD_BUCKETS if b >= len(ids)),
+                      max(len(ids), 1))
+        pts, msk, sposes, valid = self.store.gather_chain(ids, bucket)
+        fine = stamp_scan_batch(
+            fs, ProbMap(jnp.full((fs.height, fs.width), fs.default_prob,
+                                 jnp.float32),
+                        jnp.asarray(fine_off, jnp.float32)),
+            pts, msk, sposes, valid, use_blur=cfg.fine_map_use_blur)
+        coarse = stamp_scan_batch(
+            cs, ProbMap(jnp.full((cs.height, cs.width), cs.default_prob,
+                                 jnp.float32),
+                        jnp.asarray(coarse_off, jnp.float32)),
+            pts, msk, sposes, valid, use_blur=cfg.coarse_map_use_blur)
+        self.state = self.state._replace(fine=fine, coarse=coarse)
 
     # ---- async pipeline (the reference's back-end thread) ----
 
