@@ -45,6 +45,7 @@ _SLOW = {
     "test_recenter.py::test_recenter_rebuilds_from_history",
     "test_raster.py::test_batch_stamp_equals_sequential",
     "test_correlative.py::test_match_recovers_known_offset",
+    "test_golden.py::test_golden_willow_trajectory",
 }
 
 
