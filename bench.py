@@ -51,8 +51,10 @@ def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20,
             os.path.getmtime(NATIVE_BIN) < os.path.getmtime(NATIVE_SRC)):
         subprocess.run(["g++", "-O2", "-std=c++17", "-o", NATIVE_BIN,
                         NATIVE_SRC], check=True)
+    assert (map_file is None) == (scan_file is None), (
+        "map_file and scan_file must be passed together")
     cmd = [NATIVE_BIN, str(beams), str(iters)]
-    if map_file:
+    if map_file and scan_file:
         cmd += [map_file, scan_file]
     out = subprocess.run(cmd, check=True, capture_output=True,
                          text=True).stdout

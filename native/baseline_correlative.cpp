@@ -62,6 +62,10 @@ int main(int argc, char** argv) {
     }
     fclose(mf);
     FILE* sf = fopen(argv[4], "rb");
+    if (!sf) {
+      fprintf(stderr, "bad scan file %s\n", argv[4]);
+      return 1;
+    }
     fseek(sf, 0, SEEK_END);
     long n_f = ftell(sf) / 4;
     fseek(sf, 0, SEEK_SET);
