@@ -307,6 +307,14 @@ class SlamEngine:
         scan (both ingest paths funnel here)."""
         self._last_process_time = t
 
+        np_points = np.asarray(points)
+        np_mask = np.asarray(mask)
+        # grow the pub map BEFORE the stamp dispatch so this scan lands
+        # unclipped (UpdateBound runs inside UpdateMapByRange in the
+        # reference, grid_map_base.h:257-274); the predicted pose is within
+        # the search window (< the 0.5 m bbox pad) of the matched pose
+        self._maybe_grow_pub(self._predict_pose_host(np.asarray(odom)),
+                             np_points, np_mask)
         points, mask = jnp.asarray(points), jnp.asarray(mask)
         last_odom = (self._last_kept_odom if self._last_kept_odom is not None
                      else odom)
@@ -342,8 +350,7 @@ class SlamEngine:
         else:
             self._check_world_bounds(pose)
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
-        scan_id = self.store.add(np.asarray(points), np.asarray(mask),
-                                 n_valid, pose, odom, t)
+        scan_id = self.store.add(np_points, np_mask, n_valid, pose, odom, t)
         self.trajectory.append((t, pose))
         self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
@@ -375,16 +382,17 @@ class SlamEngine:
         self.diag.backend_time_s += _time.perf_counter() - t0
 
     def _check_world_bounds(self, pose: np.ndarray):
-        """The reference grows its maps dynamically (GridMapBase::UpdateBound,
-        grid_map_base.h:257-274); the TPU build preallocates the world extent
-        for static shapes, so warn loudly (once) when the trajectory nears
-        the edge — the fix is a larger ``world_size``."""
+        """Without a rolling match window (match_map_window == 0) the fine
+        and coarse *match* maps keep the preallocated world extent (static
+        shapes); warn loudly (once) when the trajectory nears their edge —
+        the fix is a larger ``world_size`` or ``match_map_window``. The pub
+        map itself grows on demand (_maybe_grow_pub)."""
         if self._bounds_warned:
             return
-        off = np.asarray(self.state.pub.offset)
-        res = self.fspec.pub_spec.resolution
-        extent = np.array([self.fspec.pub_spec.width,
-                           self.fspec.pub_spec.height]) * res
+        off = np.asarray(self.state.fine.offset)
+        res = self.fspec.fine_spec.resolution
+        extent = np.array([self.fspec.fine_spec.width,
+                           self.fspec.fine_spec.height]) * res
         cell = pose[:2] + off
         margin = self.laser.range_max * 0.5
         if (cell < margin).any() or (cell > extent - margin).any():
@@ -392,9 +400,103 @@ class SlamEngine:
 
             warnings.warn(
                 f"pose {pose[:2]} within {margin:.1f} m of the preallocated "
-                f"world edge (extent {extent}); scans will clip — increase "
-                f"world_size", RuntimeWarning, stacklevel=3)
+                f"match-map edge (extent {extent}); matching will degrade — "
+                f"increase world_size or set match_map_window",
+                RuntimeWarning, stacklevel=3)
             self._bounds_warned = True
+
+    # ---- pub map growth (GridMapBase::UpdateBound/ExtendSize,
+    #      grid_map_base.h:188-274) ----
+
+    _PUB_GROW_ALIGN = 256    # growth granularity (cells) bounds retraces
+
+    def _predict_pose_host(self, odom: np.ndarray) -> np.ndarray:
+        """Host-side copy of predict_pose_by_odom (slam_processor.cpp:618-634)
+        for pre-dispatch geometry checks."""
+        pose = np.asarray(self.state.pose, np.float64)
+        if not self.config.use_odometry or self._last_kept_odom is None:
+            return pose
+        lo = self._last_kept_odom
+        dth = pose[2] - lo[2]
+        c, s = np.cos(dth), np.sin(dth)
+        tx = pose[0] - (c * lo[0] - s * lo[1])
+        ty = pose[1] - (s * lo[0] + c * lo[1])
+        return np.array([c * odom[0] - s * odom[1] + tx,
+                         s * odom[0] + c * odom[1] + ty,
+                         dth + odom[2]])
+
+    def _maybe_grow_pub(self, pose: np.ndarray, points: np.ndarray,
+                        mask: np.ndarray):
+        """Grow the published map so this scan's world bound box fits — the
+        TPU-native equivalent of the reference's dynamic map resize
+        (``UpdateBound`` grows the allocation to the scan bbox and copies old
+        cells in, grid_map_base.h:188-274). Runs BEFORE the stamp dispatch
+        (the reference grows inside UpdateMapByRange for the same reason);
+        host-side re-allocation in 256-cell buckets keeps shapes static per
+        bucket — one jit retrace per growth event."""
+        spec = self.fspec.pub_spec
+        res = spec.resolution
+        off = np.asarray(self.state.pub.offset, np.float64)
+        extent = np.array([spec.width, spec.height]) * res      # (x, y) m
+        pts = points[mask]
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        if len(pts):
+            wx = pose[0] + c * pts[:, 0] - s * pts[:, 1]
+            wy = pose[1] + s * pts[:, 0] + c * pts[:, 1]
+        else:
+            wx = wy = np.zeros(0)
+        pad = 0.5    # slack (m) absorbing match-vs-predict pose delta
+        bmin = np.array([min(wx.min(initial=pose[0]), pose[0]),
+                         min(wy.min(initial=pose[1]), pose[1])]) - pad
+        bmax = np.array([max(wx.max(initial=pose[0]), pose[0]),
+                         max(wy.max(initial=pose[1]), pose[1])]) + pad
+        need_lo = np.maximum(0.0, -(bmin + off))                # m past low edge
+        need_hi = np.maximum(0.0, (bmax + off) - extent)
+        if (need_lo <= 0).all() and (need_hi <= 0).all():
+            return
+        align = self._PUB_GROW_ALIGN
+        cells = lambda m: (-(-np.ceil(m / res).astype(np.int64) // align)
+                           * align)
+        grow_lo = np.where(need_lo > 0, cells(need_lo), 0)      # (x, y) cells
+        grow_hi = np.where(need_hi > 0, cells(need_hi), 0)
+        with self._state_lock:
+            self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
+                              spec.height + int(grow_lo[1] + grow_hi[1]),
+                              int(grow_lo[0]), int(grow_lo[1]))
+
+    def _grow_pub_to(self, new_w: int, new_h: int,
+                     shift_x_cells: int, shift_y_cells: int):
+        """Re-allocate the pub map at (new_h, new_w), placing the old
+        content ``shift`` cells from the new low edge. Callers hold the
+        state lock."""
+        spec = self.fspec.pub_spec
+        old_hits = np.asarray(self.state.pub.hits)
+        old_passes = np.asarray(self.state.pub.passes)
+        H, W = old_hits.shape
+        hits = np.zeros((new_h, new_w), np.float32)
+        passes = np.zeros((new_h, new_w), np.float32)
+        hits[shift_y_cells:shift_y_cells + H,
+             shift_x_cells:shift_x_cells + W] = old_hits
+        passes[shift_y_cells:shift_y_cells + H,
+               shift_x_cells:shift_x_cells + W] = old_passes
+        new_off = (np.asarray(self.state.pub.offset, np.float64)
+                   + np.array([shift_x_cells, shift_y_cells]) * spec.resolution)
+        from .models.grid_map import _round_up
+
+        # a small initial world can cap the Pallas carve window at the map
+        # size (pub_map_spec); growth may unlock the full lidar-disk window
+        window = 0 if spec.carve_window == 0 else min(
+            min(new_h, new_w), _round_up(2 * spec.max_ray_cells + 24))
+        new_spec = dataclasses.replace(spec, height=new_h, width=new_w,
+                                       carve_window=window)
+        self.fspec = dataclasses.replace(self.fspec, pub_spec=new_spec)
+        self.bspec = dataclasses.replace(self.bspec, pub_spec=new_spec)
+        self.backend.spec = self.bspec
+        self.state = self.state._replace(
+            pub=CountMap(jnp.asarray(hits), jnp.asarray(passes),
+                         jnp.asarray(new_off, jnp.float32)))
+        self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
+                                  self.state.pub.offset)
 
     def _shift_granule(self) -> float:
         """Smallest shift (m) that is an integer cell count in BOTH
@@ -521,10 +623,31 @@ class SlamEngine:
             self._apply_corrections_locked(corrected)
 
     def _apply_corrections_locked(self, corrected: np.ndarray):
-        for sid in range(corrected.shape[0]):
+        n_corr = corrected.shape[0]
+        n = len(self.store)
+        if n_corr < n:
+            # async mode: scans accepted after the solve snapshot are not in
+            # ``corrected``. Re-anchor them with the last corrected scan's
+            # rigid delta so their placement relative to the corrected
+            # trajectory is preserved before every map is rebuilt around
+            # them (the reference corrects EVERY stored scan under the map
+            # mutex, CorrectPoseAndMap, slam_processor.cpp:329-370; our
+            # snapshot can be stale by the scans that streamed in during
+            # the solve).
+            old = np.asarray(self.store.poses[n_corr - 1], np.float64)
+            new = np.asarray(corrected[n_corr - 1], np.float64)
+            dth = new[2] - old[2]
+            c_d, s_d = np.cos(dth), np.sin(dth)
+            for sid in range(n_corr, n):
+                p = np.asarray(self.store.poses[sid], np.float64)
+                rel = p[:2] - old[:2]
+                th = p[2] + dth
+                self.store.set_pose(sid, np.array([
+                    new[0] + c_d * rel[0] - s_d * rel[1],
+                    new[1] + s_d * rel[0] + c_d * rel[1],
+                    np.arctan2(np.sin(th), np.cos(th))]))
+        for sid in range(n_corr):
             self.store.set_pose(sid, corrected[sid])
-        # keep uncorrected trailing scans' relative placement: none exist in
-        # synchronous mode (the newest scan is in the graph)
         pts, msk, poses = self.store.all_arrays()
         valid = jnp.ones(pts.shape[0], bool)
         cfg = self.config

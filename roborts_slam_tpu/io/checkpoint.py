@@ -114,7 +114,14 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
     engine.backend.num_loop_closures = int(z["backend_counters"][0])
     engine.backend.num_links = int(z["backend_counters"][1])
 
-    # front-end state
+    # front-end state; the pub map may have grown past the world_size
+    # allocation (engine._maybe_grow_pub) — re-shape the spec to the saved
+    # arrays before restoring them
+    ph, pw = z["pub_hits"].shape
+    ps = engine.fspec.pub_spec
+    if (ph, pw) != (ps.height, ps.width):
+        with engine._state_lock:
+            engine._grow_pub_to(pw, ph, 0, 0)
     engine.state = engine.state._replace(
         pub=CountMap(jnp.asarray(z["pub_hits"]), jnp.asarray(z["pub_passes"]),
                      jnp.asarray(z["pub_offset"])),

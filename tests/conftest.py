@@ -28,8 +28,10 @@ _SLOW = {
     "test_recenter.py::test_windowed_run_tracks_long_trajectory",
     "test_pallas_correlation.py::test_randomized_config_sweep",
     "test_e2e_small.py::test_icra_end_to_end",
+    "test_e2e_small.py::test_icra_end_to_end_with_optimize_matcher",
     "test_multiprocess.py::test_two_process_distributed",
     "test_engine_features.py::test_async_backend_pipeline",
+    "test_engine_features.py::test_pub_map_grows_with_trajectory",
     "test_engine_features.py::test_checkpoint_roundtrip",
     "test_engine_features.py::test_windowed_running_range_match",
     "test_engine_features.py::test_engine_dedistortion_path",

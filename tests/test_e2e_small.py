@@ -77,3 +77,26 @@ def test_icra_end_to_end(icra_log):
     pub = engine.get_pub_map()
     assert (pub == 100).sum() > 100
     assert (pub == 0).sum() > 1000
+
+
+def test_icra_end_to_end_with_optimize_matcher(icra_log):
+    """use_optimize_scan_match on, end to end: pins the Gauss-Newton stage
+    and its optimize-failed -> coarse-correlative ``lax.cond`` fallback
+    (scan_matchers.h:205-242, frontend/matchers.py) on a full run — the
+    reference profiles ship it off (simulatin_param.yaml:40), so this is
+    the only sustained exercise of that branch."""
+    log = icra_log
+    cfg = _small_config().replace(use_optimize_scan_match=True)
+    engine = SlamEngine(cfg, log.laser)
+    n = 2 * len(log) // 3
+    for i in range(n):
+        engine.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    engine.finish()
+    traj = engine.trajectory_array()
+    assert engine.diag.scans_processed > 20, engine.diag
+    est, gt = match_by_time(traj, log.gt_poses, log.times)
+    ate = ate_rmse(est, gt)
+    odom_est = log.odom[np.searchsorted(log.times, traj[:, 0]).clip(0, len(log) - 1)]
+    ate_odom = ate_rmse(odom_est, gt)
+    print(f"\noptimize-on ATE slam={ate:.3f}m odom={ate_odom:.3f}m")
+    assert ate < 0.15, f"ATE too high with optimize matcher: {ate:.3f}"

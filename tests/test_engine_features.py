@@ -122,6 +122,89 @@ def test_async_backend_survives_finish(icra_log):
         "backend thread did not restart after finish()")
 
 
+def test_pub_map_grows_with_trajectory(icra_log):
+    """The published map grows on demand when scans escape the preallocated
+    extent (GridMapBase::UpdateBound/ExtendSize, grid_map_base.h:188-274):
+    a run whose world_size is far too small must reproduce the map content
+    of a comfortably-sized run instead of warn-then-clip."""
+    log = icra_log
+    cfg = _small_config().replace(match_map_window=10.0)
+    n = min(90, len(log))
+
+    big = SlamEngine(cfg, log.laser, world_size=40.0)
+    small = SlamEngine(cfg, log.laser, world_size=8.0)
+    for i in range(n):
+        big.process(log.ranges[i], log.odom[i], float(log.times[i]))
+        small.process(log.ranges[i], log.odom[i], float(log.times[i]))
+
+    sspec = small.fspec.pub_spec
+    assert max(sspec.width, sspec.height) > 256, (
+        "pub map did not grow past its 8 m (256-cell) preallocation")
+    tb, ts = big.trajectory_array(), small.trajectory_array()
+    assert tb.shape == ts.shape
+    np.testing.assert_allclose(ts[:, 1:3], tb[:, 1:3], atol=5e-3)
+
+    # identical content over the aligned overlap; nothing outside it
+    pb, ps = big.get_pub_map(), small.get_pub_map()
+    ob = np.asarray(big.state.pub.offset, np.float64)
+    osm = np.asarray(small.state.pub.offset, np.float64)
+    res = cfg.map_resolution
+    shift = np.round((osm - ob) / res).astype(int)          # (x, y) cells
+    np.testing.assert_allclose((osm - ob) / res, shift, atol=1e-3)
+    Hb, Wb = pb.shape
+    Hs, Ws = ps.shape
+    y0, x0 = max(0, -shift[1]), max(0, -shift[0])
+    y1, x1 = min(Hb, Hs - shift[1]), min(Wb, Ws - shift[0])
+    b = pb[y0:y1, x0:x1]
+    s = ps[y0 + shift[1]:y1 + shift[1], x0 + shift[0]:x1 + shift[0]]
+    assert (b == 100).sum() > 200, "comparison region carries no walls"
+    mismatch = float(np.mean(b != s))
+    assert mismatch < 0.005, f"map content diverged: {mismatch:.4%} cells"
+    outside = pb.copy()
+    outside[y0:y1, x0:x1] = -1
+    assert (outside == -1).all(), "big run has content the grown map misses"
+
+
+def test_async_corrections_reanchor_trailing_scans(icra_log):
+    """Corrections computed from a stale snapshot (async mode) must carry
+    the trailing scans with the last corrected scan's rigid delta, so
+    relative placement across the snapshot boundary is preserved exactly
+    (the reference corrects EVERY stored scan under the map mutex,
+    slam_processor.cpp:329-370)."""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    i = 0
+    while len(eng.store) < 8 and i < len(log):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+        i += 1
+    n = len(eng.store)
+    assert n >= 8
+    n_corr = n - 3                      # 3 scans trail the solve snapshot
+    before = eng.store.poses_array().copy()
+
+    dth = 0.12
+    c, s = np.cos(dth), np.sin(dth)
+    tr = np.array([0.35, -0.2])
+
+    def apply_delta(p):
+        return np.array([tr[0] + c * p[0] - s * p[1],
+                         tr[1] + s * p[0] + c * p[1], p[2] + dth])
+
+    corrected = np.stack([apply_delta(before[k]) for k in range(n_corr)])
+    eng._apply_corrections(corrected)
+
+    after = eng.store.poses_array()
+    for k in range(n):                  # trailing scans included: tight pin
+        exp = apply_delta(before[k])
+        np.testing.assert_allclose(after[k, :2], exp[:2], atol=1e-9)
+        dang = after[k, 2] - exp[2]
+        assert abs(np.arctan2(np.sin(dang), np.cos(dang))) < 1e-9
+    # trajectory mirrors the store, boundary included
+    traj = eng.trajectory_array()
+    np.testing.assert_allclose(traj[-1, 1:3], after[-1, :2], atol=1e-9)
+
+
 def test_windowed_running_range_match(icra_log):
     """use_running_range_scan_match: the engine matches against maps rebuilt
     from the running-range window (the reference's disabled windowed path,
