@@ -16,6 +16,14 @@ fetched to host, inputs perturbed per rep, slope of t(K2)-t(K1). This is
 the only protocol that survives the tunnel's dispatch pipelining and
 relay-side memoization (see timing.py for the validation).
 
+Driver-budget hardening (round 3): the K bound is a TRACED fori_loop
+argument, so the whole bench compiles exactly ONE program (a cold tunnel
+compile costs minutes; round 2 paid it per K point and timed out,
+BENCH_r02.json rc=124). A SIGALRM hard deadline (BENCH_HARD_S, default
+500 s) emits a degraded-but-honest lower bound from whatever K points
+completed instead of overrunning. Progress timestamps go to stderr;
+stdout stays one JSON line.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -153,11 +161,15 @@ def write_scene_files(content, out_dir: str) -> tuple[str, str]:
 
 def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
                       k_points=(16, 64), reps: int = 3,
-                      content: dict | None = None) -> float:
+                      content: dict | None = None,
+                      deadline: float | None = None, log=None,
+                      partial_out: dict | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     from roborts_slam_tpu.config import load_config
     from roborts_slam_tpu.frontend.matchers import MatcherParams, scan_match
@@ -209,36 +221,48 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
         inits = jnp.tile(jnp.array([[0.01, 0.0, 0.0]], jnp.float32),
                          (batch, 1))
 
-    from roborts_slam_tpu.bench.timing import k_slope
+    from roborts_slam_tpu.bench.timing import k_slope_dynamic
 
-    def make_chain(K):
-        @jax.jit
-        def chained(fp):
-            def one(init):
-                out = scan_match(matcher, fine_spec, fp, offset,
-                                 coarse_spec, coarse_probs, coff,
-                                 points, mask, n_valid, init)
-                return out.pose, out.score
+    @jax.jit
+    def chained(fp, K):
+        def one(init):
+            out = scan_match(matcher, fine_spec, fp, offset,
+                             coarse_spec, coarse_probs, coff,
+                             points, mask, n_valid, init)
+            return out.pose, out.score
 
-            def body(i, carry):
-                # feed the matched pose into the next match (the online SLAM
-                # dependency chain); epsilon keeps the loop body live
-                poses, acc = carry
-                p, s = jax.vmap(one)(poses)
-                return (p + 1e-6 * i, acc + s.sum())
+        def body(i, carry):
+            # feed the matched pose into the next match (the online SLAM
+            # dependency chain); epsilon keeps the loop body live
+            poses, acc = carry
+            p, s = jax.vmap(one)(poses)
+            return (p + 1e-6 * i, acc + s.sum())
 
-            out = jax.lax.fori_loop(0, K, body, (inits, jnp.float32(0)))
-            return out[1]
+        # K is a TRACED bound: one executable serves every K point (a cold
+        # tunnel compile costs minutes — the round-2 bench paid it per
+        # program and timed out, BENCH_r02 rc=124)
+        out = jax.lax.fori_loop(0, K, body, (inits, jnp.float32(0)))
+        return out[1]
 
-        # the seed perturbation defeats relay-side memoization (timing.py)
-        return lambda seed: chained(fine_probs + jnp.float32(seed) * 1e-7)
-
-    per_iter = k_slope(make_chain, k_points=k_points, reps=reps)
+    # the seed perturbation defeats relay-side memoization (timing.py)
+    f = lambda seed, K: chained(fine_probs + jnp.float32(seed) * 1e-7,
+                                jnp.int32(K))
+    per_iter, _ = k_slope_dynamic(f, k_points=k_points, reps=reps,
+                                  deadline=deadline, log=log,
+                                  partial_out=partial_out)
     return batch / per_iter
 
 
 def main():
     import argparse
+    import signal
+    import sys
+
+    t0 = time.monotonic()
+
+    def log(msg):
+        print(f"[bench {time.monotonic() - t0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default=None, choices=("icra", "rm", "willow"),
@@ -250,23 +274,56 @@ def main():
     args = ap.parse_args()
 
     beams = 1081
+    batch = 16
+    metric = (f"correlative_scan_match_throughput_{args.scene}"
+              if args.scene else "correlative_scan_match_throughput")
+
+    def emit(tpu, cpu, degraded=False):
+        rec = {"metric": metric, "value": round(tpu, 2),
+               "unit": "scans/sec/chip", "vs_baseline": round(tpu / cpu, 2)}
+        if degraded:
+            rec["degraded"] = True
+        print(json.dumps(rec), flush=True)
+
+    # CPU baseline first: pure-host, ~10 s, and the SIGALRM fallback needs it
     if args.scene:
         content = scene_content(args.scene)
         map_file, scan_file = write_scene_files(content, "/tmp")
         cpu = cpu_baseline_scans_per_sec(beams=beams, map_file=map_file,
                                          scan_file=scan_file)
-        tpu = tpu_scans_per_sec(beams=beams, content=content)
-        metric = f"correlative_scan_match_throughput_{args.scene}"
     else:
+        content = None
         cpu = cpu_baseline_scans_per_sec(beams=beams)
-        tpu = tpu_scans_per_sec(beams=beams)
-        metric = "correlative_scan_match_throughput"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(tpu, 2),
-        "unit": "scans/sec/chip",
-        "vs_baseline": round(tpu / cpu, 2),
-    }))
+    log(f"cpu baseline {cpu:.1f} scans/s")
+
+    # hard stop: emit a degraded-but-honest number from whatever K points
+    # completed instead of overrunning the driver's budget (BENCH_r02 was
+    # rc=124 with nothing captured)
+    partial = {}
+    hard_s = float(os.environ.get("BENCH_HARD_S", "500"))
+    k_points = tuple(int(x) for x in
+                     os.environ.get("BENCH_K", "16,64").split(","))
+
+    def on_alarm(signum, frame):
+        if partial:
+            k = max(partial)
+            # includes the dispatch floor -> a LOWER bound on throughput
+            tpu = batch * k / partial[k]
+            log(f"hard deadline: degraded estimate from K={k}")
+            emit(tpu, cpu, degraded=True)
+            sys.stdout.flush()
+            os._exit(0)
+        log("hard deadline hit before any measurement; aborting")
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(int(hard_s))
+
+    deadline = t0 + float(os.environ.get("BENCH_BUDGET_S", "300"))
+    tpu = tpu_scans_per_sec(beams=beams, content=content, k_points=k_points,
+                            deadline=deadline, log=log, partial_out=partial)
+    signal.alarm(0)
+    emit(tpu, cpu)
 
 
 if __name__ == "__main__":

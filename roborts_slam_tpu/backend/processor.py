@@ -62,20 +62,31 @@ class BackendSpec:
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def chain_match_batch(spec: BackendSpec,
-                      chain_points, chain_masks, chain_poses, chain_valid,
-                      points, mask, n_valid, init_poses, center_pose,
-                      pub_hits, pub_passes, pub_offset):
+def chain_match_batch_gather(spec: BackendSpec,
+                             all_points, all_masks, all_n_valid, all_poses,
+                             chain_ids, scan_id, init_poses, center_pose,
+                             pub_hits, pub_passes, pub_offset):
     """All candidate chains of one LinkNearChains / TryCloseLoop pass
-    matched in ONE device dispatch (vmap over the leading chain dim; the
-    current scan and pub map are shared, the init pose is per-chain). The
-    reference loops chains serially on one thread
-    (range_scan_pose_graph.cpp:125-164)."""
+    matched in ONE device dispatch (vmap over the chain dim; the reference
+    loops chains serially, range_scan_pose_graph.cpp:125-164), with the
+    scans gathered ON DEVICE from the store's resident buffers
+    (ScanStore.device_arrays) by a (B, K) id matrix (-1 = padding).
+    Replaces the per-call re-upload of padded host chain arrays (the
+    round-2 hot spot: ~MBs over the tunnel per back-end call); per call
+    the host now ships only ids + init poses."""
+    ids = jnp.maximum(chain_ids, 0)
+    valid = chain_ids >= 0                              # (B, K)
+    cp = all_points[ids]                                # (B, K, P, 2)
+    cm = all_masks[ids] & valid[..., None]
+    cpo = all_poses[ids]
+    points = all_points[scan_id]
+    mask = all_masks[scan_id]
+    n_valid = all_n_valid[scan_id]
     return jax.vmap(
-        lambda cp, cm, cpo, cv, ip: chain_match(
-            spec, cp, cm, cpo, cv, points, mask, n_valid, ip,
+        lambda p_, m_, po_, v_, ip: chain_match(
+            spec, p_, m_, po_, v_, points, mask, n_valid, ip,
             center_pose, pub_hits, pub_passes, pub_offset)
-    )(chain_points, chain_masks, chain_poses, chain_valid, init_poses)
+    )(cp, cm, cpo, valid, init_poses)
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -145,32 +156,16 @@ class Backend:
 
     # ---- device-call helpers ----
 
-    def _match_against_chain(self, chain_ids: list[int], scan_id: int,
-                             init_pose: np.ndarray):
-        st = self.store
-        K = self.spec.max_chain_scans
-        ids = chain_ids[:K]
-        pts, msk, poses, valid = st.gather_chain(ids, K)
-        center = st.poses[scan_id]
-        pub = st.pub_map_arrays()
-        pose, score, cov = chain_match(
-            self.spec, pts, msk, poses, valid,
-            *st.scan_arrays(scan_id),
-            jnp.asarray(init_pose, jnp.float32),
-            jnp.asarray(center, jnp.float32),
-            *pub,
-        )
-        return (np.asarray(pose, np.float64), float(score),
-                np.asarray(cov, np.float64))
-
     _BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
     def _match_chain_batch(self, chain_id_lists: list[list[int]],
                            scan_id: int, init_poses: np.ndarray):
-        """Match one scan against B chains in a single dispatch. B pads up
-        to a bucket size (bounded recompilation); padded slots carry empty
-        chains, whose near-default score falls below every link threshold.
-        ``init_poses``: (3,) shared by all chains, or (B, 3) per-chain."""
+        """Match one scan against B chains in a single dispatch, gathering
+        the scans from the store's device-resident buffers (the host ships
+        only a (B, K) id matrix + init poses per call). B pads up to a
+        bucket size (bounded recompilation); padded slots carry empty
+        chains (-1 ids), whose near-default score falls below every link
+        threshold. ``init_poses``: (3,) shared, or (B, 3) per-chain."""
         st = self.store
         K = self.spec.max_chain_scans
         B = len(chain_id_lists)
@@ -183,18 +178,14 @@ class Backend:
             assert inits.shape[0] == B
             inits = np.concatenate(
                 [inits, np.zeros((bucket - B, 3), np.float32)])
-        gathered = [st.gather_chain(ids[:K], K) for ids in chain_id_lists]
-        empty = st.gather_chain([], K)
-        gathered += [empty] * (bucket - B)
-        pts = jnp.stack([g[0] for g in gathered])
-        msk = jnp.stack([g[1] for g in gathered])
-        poses = jnp.stack([g[2] for g in gathered])
-        valid = jnp.stack([g[3] for g in gathered])
+        ids = np.full((bucket, K), -1, np.int32)
+        for b, chain in enumerate(chain_id_lists):
+            ids[b, :min(len(chain), K)] = chain[:K]
+        all_pts, all_msk, all_nv, all_poses, _cap = st.device_arrays()
         pub = st.pub_map_arrays()
-        bpose, bscore, bcov = chain_match_batch(
-            self.spec, pts, msk, poses, valid,
-            *st.scan_arrays(scan_id),
-            jnp.asarray(inits),
+        bpose, bscore, bcov = chain_match_batch_gather(
+            self.spec, all_pts, all_msk, all_nv, all_poses,
+            jnp.asarray(ids), jnp.int32(scan_id), jnp.asarray(inits),
             jnp.asarray(st.poses[scan_id], jnp.float32),
             *pub,
         )

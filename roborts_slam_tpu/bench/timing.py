@@ -31,6 +31,47 @@ from typing import Callable
 import numpy as np
 
 
+def k_slope_dynamic(f: Callable, k_points: tuple[int, int] = (16, 64),
+                    reps: int = 3, deadline: float | None = None,
+                    log=None, partial_out: dict | None = None
+                    ) -> tuple[float, dict]:
+    """Seconds per iteration via the two-point K slope with ONE compiled
+    program: ``f(seed, K)`` runs K chained iterations where K is a traced
+    argument (``lax.fori_loop`` with a dynamic bound), so both K points —
+    and any degraded protocol — share a single executable. Through the axon
+    tunnel a compile can cost minutes; one program instead of two is the
+    difference between landing in the driver's budget and rc=124.
+
+    ``deadline`` (time.monotonic value) degrades the protocol instead of
+    overrunning: fewer reps once past it. Returns (sec_per_iter, detail)
+    where detail carries the raw best times for diagnostics."""
+    import time as _t
+
+    k1, k2 = k_points
+    assert k2 > k1 > 0
+    np.asarray(f(0, k1))                   # the one compile + warm
+    if log:
+        log("compile+warm done")
+    totals = {}
+    for k in (k1, k2):
+        np.asarray(f(1009 + k, k))         # warm this trip count
+        best = float("inf")
+        r = reps
+        if deadline is not None and _t.monotonic() > deadline:
+            r = 1
+        for i in range(r):
+            t0 = _t.perf_counter()
+            np.asarray(f(7 * i + k, k))
+            best = min(best, _t.perf_counter() - t0)
+        totals[k] = best
+        if partial_out is not None:
+            partial_out[k] = best          # SIGALRM fallback reads these
+        if log:
+            log(f"K={k}: best {best:.4f}s over {r} reps")
+    sec = max((totals[k2] - totals[k1]) / (k2 - k1), 1e-12)
+    return sec, {"t_k1": totals[k1], "t_k2": totals[k2], "k_points": k_points}
+
+
 def k_slope(make_chain: Callable[[int], Callable],
             k_points: tuple[int, int] = (16, 64),
             reps: int = 3) -> float:

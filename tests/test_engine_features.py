@@ -22,6 +22,46 @@ def icra_log():
                         range_noise=0.005, seed=3)
 
 
+def test_device_store_mirrors_host():
+    """The device-resident scan buffers must track the host store exactly
+    through appends, pose corrections, and capacity growth — a stale pose
+    here silently poisons every back-end chain map (caught as a
+    checkpoint-resume trajectory divergence before this pin existed)."""
+    rng = np.random.default_rng(0)
+    st = ScanStore(max_points=8)
+    st._DEV_BUCKET_START = 4          # exercise capacity doubling cheaply
+
+    def check():
+        pts, msk, nv, poses, cap = st.device_arrays()
+        n = len(st)
+        assert cap >= n
+        np.testing.assert_array_equal(np.asarray(pts[:n]),
+                                      np.stack(st._points))
+        np.testing.assert_array_equal(np.asarray(msk[:n]),
+                                      np.stack(st._masks))
+        np.testing.assert_array_equal(np.asarray(nv[:n]), st._n_valid)
+        np.testing.assert_allclose(np.asarray(poses[:n]),
+                                   st.poses_array().astype(np.float32),
+                                   atol=0)
+        assert (np.asarray(nv[n:]) == 0).all()
+
+    def add(i):
+        st.add(rng.random((8, 2), np.float32).astype(np.float32),
+               np.ones(8, bool), 8, np.array([float(i), -1.0, 0.1 * i]),
+               np.zeros(3), i)
+
+    for i in range(3):
+        add(i)
+    check()                            # initial build
+    add(3)
+    check()                            # in-place append
+    st.set_pose(1, np.array([9.0, 9.0, 9.0]))
+    check()                            # stale poses refreshed
+    for i in range(4, 11):
+        add(i)                         # overflows cap 4 -> rebuild at 16
+    check()
+
+
 def test_running_range_window():
     store = ScanStore(max_points=8, running_range_max_scans=5,
                       running_range_max_distance=2.0)
