@@ -119,6 +119,145 @@ def test_bag_roundtrip(tmp_path, chunked, compression):
     np.testing.assert_allclose(log.odom[0], [0.05, -0.025, 0.01], atol=1e-9)
 
 
+_SCAN_MD5 = b"90c7ef2dc6895d81024acba2ac42f369"     # sensor_msgs/LaserScan
+_ODOM_MD5 = b"cd5e73d190d741a2f92e81eda573aca7"     # nav_msgs/Odometry
+_SCAN_DEF = (b"# Single scan from a planar laser range-finder\n\n"
+             b"Header header\nfloat32 angle_min\nfloat32 angle_max\n"
+             b"float32 angle_increment\nfloat32 time_increment\n"
+             b"float32 scan_time\nfloat32 range_min\nfloat32 range_max\n"
+             b"float32[] ranges\nfloat32[] intensities\n")
+_ODOM_DEF = (b"# This represents an estimate of a position and velocity\n"
+             b"Header header\nstring child_frame_id\n"
+             b"geometry_msgs/PoseWithCovariance pose\n"
+             b"geometry_msgs/TwistWithCovariance twist\n")
+
+
+def _conn_record(conn: int, topic: bytes, mtype: bytes, md5: bytes,
+                 mdef: bytes) -> bytes:
+    """Connection record exactly as rosbag record emits it: the data part
+    is the full connection header incl. message_definition and callerid."""
+    return _record(
+        {"op": b"\x07", "conn": conn.to_bytes(4, "little"), "topic": topic},
+        _header({"topic": topic, "type": mtype, "md5sum": md5,
+                 "message_definition": mdef, "callerid": b"/record_123",
+                 "latching": b"0"}))
+
+
+def _write_record_style_bag(path):
+    """Byte-exact emulation of `rosbag record -O` output layout (rosbag
+    v2.0 format): 4096-byte space-padded file header record with a real
+    index_pos, connection records INSIDE the first chunk, several chunks,
+    per-connection INDEX_DATA records after every chunk, and the
+    post-chunk section (connection copies + CHUNK_INFO records) at
+    index_pos — none of which the simple `_write_bag` serializer emits.
+    Exercises the reader against the structure a real Hokuyo capture has
+    (launch/roborts_slam_realworld_hokuyo_bag.launch replays such bags)."""
+    rng = np.random.default_rng(7)
+    scans = [(100.0 + 0.1 * i, rng.uniform(0.1, 7.9, 24)) for i in range(6)]
+    odoms = [(99.95 + 0.1 * i, 0.2 * i, 0.1 * i, 0.05 * i) for i in range(8)]
+
+    conns = [_conn_record(0, b"/scan", b"sensor_msgs/LaserScan",
+                          _SCAN_MD5, _SCAN_DEF),
+             _conn_record(1, b"/odom", b"nav_msgs/Odometry",
+                          _ODOM_MD5, _ODOM_DEF)]
+
+    def msg_record(conn, t, body):
+        secs, nsecs = int(t), int(round((t - int(t)) * 1e9))
+        return _record({"op": b"\x02", "conn": conn.to_bytes(4, "little"),
+                        "time": struct.pack("<II", secs, nsecs)}, body)
+
+    # interleave by time like a live recorder, then split into 3 chunks
+    events = ([(t, 0, _laserscan_bytes(t, r)) for t, r in scans]
+              + [(t, 1, _odometry_bytes(t, x, y, yaw))
+                 for t, x, y, yaw in odoms])
+    events.sort(key=lambda e: e[0])
+    chunks = [events[:5], events[5:10], events[10:]]
+
+    out = bytearray()
+    out += b"#ROSBAG V2.0\n"
+    header_pos = len(out)
+    out += b"\x00" * 4096                       # placeholder, rewritten below
+
+    chunk_infos = []
+    for ci, chunk_events in enumerate(chunks):
+        payload = bytearray()
+        index = {0: [], 1: []}
+        if ci == 0:
+            for c in conns:                     # connections live in chunk 0
+                payload += c
+        for t, conn, body in chunk_events:
+            index[conn].append((t, len(payload)))
+            payload += msg_record(conn, t, body)
+        chunk_pos = len(out)
+        out += _record({"op": b"\x05", "compression": b"none",
+                        "size": len(payload).to_bytes(4, "little")},
+                       bytes(payload))
+        for conn, entries in index.items():     # INDEX_DATA after the chunk
+            if not entries:
+                continue
+            data = b"".join(
+                struct.pack("<III", int(t), int(round((t - int(t)) * 1e9)),
+                            off) for t, off in entries)
+            out += _record({"op": b"\x04", "ver": (1).to_bytes(4, "little"),
+                            "conn": conn.to_bytes(4, "little"),
+                            "count": len(entries).to_bytes(4, "little")},
+                           data)
+        ts = [t for t, _, _ in chunk_events]
+        counts = {c: sum(1 for _, cc, _ in chunk_events if cc == c)
+                  for c in (0, 1)}
+        chunk_infos.append((chunk_pos, min(ts), max(ts), counts))
+
+    index_pos = len(out)
+    for c in conns:                             # connection copies at the end
+        out += c
+    for pos, t0, t1, counts in chunk_infos:     # CHUNK_INFO records
+        present = [(c, n) for c, n in counts.items() if n]
+        data = b"".join(struct.pack("<II", c, n) for c, n in present)
+        out += _record(
+            {"op": b"\x06", "ver": (1).to_bytes(4, "little"),
+             "chunk_pos": pos.to_bytes(8, "little"),
+             "start_time": struct.pack("<II", int(t0),
+                                       int(round((t0 - int(t0)) * 1e9))),
+             "end_time": struct.pack("<II", int(t1),
+                                     int(round((t1 - int(t1)) * 1e9))),
+             "count": len(present).to_bytes(4, "little")},
+            data)
+
+    # 4096-byte space-padded file header record with the real index_pos
+    hdr = _header({"op": b"\x03",
+                   "index_pos": index_pos.to_bytes(8, "little"),
+                   "conn_count": (2).to_bytes(4, "little"),
+                   "chunk_count": (3).to_bytes(4, "little")})
+    pad = 4096 - 8 - len(hdr)
+    rec = (struct.pack("<I", len(hdr)) + hdr
+           + struct.pack("<I", pad) + b"\x20" * pad)
+    assert len(rec) == 4096
+    out[header_pos:header_pos + 4096] = rec
+
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return scans, odoms
+
+
+def test_record_style_bag_layout(tmp_path):
+    """The reader must parse the layout a real `rosbag record` emits —
+    padded file header, in-chunk connections, index + chunk-info records,
+    end-of-file connection copies — without double-counting messages from
+    the duplicated connection records or tripping on index records."""
+    path = str(tmp_path / "record_style.bag")
+    scans, odoms = _write_record_style_bag(path)
+
+    msgs = list(read_bag_messages(path))
+    assert sum(m[1] == "sensor_msgs/LaserScan" for m in msgs) == len(scans)
+    assert sum(m[1] == "nav_msgs/Odometry" for m in msgs) == len(odoms)
+
+    log = bag_to_scan_log(path)
+    assert len(log) == len(scans)
+    assert log.laser.num_beams == 24
+    np.testing.assert_allclose(log.ranges[3], scans[3][1].astype(np.float32))
+    np.testing.assert_allclose(log.times, [t for t, _ in scans], atol=1e-6)
+
+
 def test_lz4_codec_vectors():
     """The pure-python LZ4 codec: known-answer block vectors (match copies,
     overlapping RLE copies, literal runs >= 15) and frame round-trips."""
