@@ -64,12 +64,18 @@ def cpu_baseline_scans_per_sec(beams: int = 1081, iters: int = 20,
     cmd = [NATIVE_BIN, str(beams), str(iters)]
     if map_file and scan_file:
         cmd += [map_file, scan_file]
-    out = subprocess.run(cmd, check=True, capture_output=True,
-                         text=True).stdout
-    for line in out.splitlines():
-        if line.startswith("cpu_scans_per_sec"):
-            return float(line.split()[1])
-    raise RuntimeError(f"unexpected baseline output: {out!r}")
+
+    def once() -> float:
+        out = subprocess.run(cmd, check=True, capture_output=True,
+                             text=True).stdout
+        for line in out.splitlines():
+            if line.startswith("cpu_scans_per_sec"):
+                return float(line.split()[1])
+        raise RuntimeError(f"unexpected baseline output: {out!r}")
+
+    # best of 3: the 2-core host is noisy; the fastest run is the fairest
+    # single-core number (and the conservative one for our speedup ratio)
+    return max(once() for _ in range(3))
 
 
 def scene_content(name: str, n_stamp: int = 50, seed: int = 0):
@@ -278,11 +284,20 @@ def main():
     metric = (f"correlative_scan_match_throughput_{args.scene}"
               if args.scene else "correlative_scan_match_throughput")
 
+    local_path = os.path.join(REPO, "BENCH_LOCAL.json")
+
     def emit(tpu, cpu, degraded=False):
         rec = {"metric": metric, "value": round(tpu, 2),
                "unit": "scans/sec/chip", "vs_baseline": round(tpu / cpu, 2)}
         if degraded:
             rec["degraded"] = True
+        else:
+            try:                      # last-known-good for the stale fallback
+                rec_disk = dict(rec, measured_at=time.strftime("%Y-%m-%d %H:%M"))
+                with open(local_path, "w") as fh:
+                    json.dump(rec_disk, fh)
+            except OSError:
+                pass
         print(json.dumps(rec), flush=True)
 
     # CPU baseline first: pure-host, ~10 s, and the SIGALRM fallback needs it
@@ -312,6 +327,18 @@ def main():
             log(f"hard deadline: degraded estimate from K={k}")
             emit(tpu, cpu, degraded=True)
             sys.stdout.flush()
+            os._exit(0)
+        # relay compile never finished (observed 4->8+ min variance for the
+        # SAME cached program): fall back to the last successful local
+        # measurement, clearly marked stale, instead of an empty scoreboard
+        if os.path.exists(local_path):
+            with open(local_path) as fh:
+                rec = json.load(fh)
+            rec["stale"] = True
+            rec["note"] = "relay compile exceeded deadline; last-known-good"
+            log(f"hard deadline in compile: emitting stale result from "
+                f"{rec.get('measured_at')}")
+            print(json.dumps(rec), flush=True)
             os._exit(0)
         log("hard deadline hit before any measurement; aborting")
         os._exit(3)
