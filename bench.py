@@ -19,10 +19,13 @@ relay-side memoization (see timing.py for the validation).
 Driver-budget hardening (round 3): the K bound is a TRACED fori_loop
 argument, so the whole bench compiles exactly ONE program (a cold tunnel
 compile costs minutes; round 2 paid it per K point and timed out,
-BENCH_r02.json rc=124). A SIGALRM hard deadline (BENCH_HARD_S, default
-500 s) emits a degraded-but-honest lower bound from whatever K points
-completed instead of overrunning. Progress timestamps go to stderr;
-stdout stays one JSON line.
+BENCH_r02.json rc=124). A watchdog-thread hard deadline (BENCH_HARD_S,
+default 500 s — a thread, because the guarded failure is a compile hung
+inside a blocking C++ call where SIGALRM handlers cannot run) emits a
+degraded-but-honest lower bound from whatever K points completed, or the
+last-known-good record for THIS metric from BENCH_LOCAL.json marked
+stale, instead of overrunning. Progress timestamps go to stderr; stdout
+stays one JSON line.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -195,37 +198,17 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
                          + jnp.array([[0.01, 0.0, 0.0]], jnp.float32),
                          (batch, 1))
     else:
-        cfg = load_config("/root/reference/config/simulatin_param.yaml")
-        matcher = MatcherParams.from_config(cfg, use_center_penalty=True)
+        # the ONE shared workload fixture (also what kernel_bench and the
+        # smoke perf pin measure; map content matches the CPU baseline)
+        from roborts_slam_tpu.bench.workload import headline_workload
 
-        H = W = 2048
-        fine_spec = ProbMapSpec(resolution=0.01, height=H, width=W,
-                                deviation=cfg.fine_map_deviation,
-                                blur_offset=cfg.gaussian_blur_offset)
-        coarse_spec = ProbMapSpec(resolution=0.08, height=256, width=256,
-                                  deviation=cfg.coarse_map_deviation,
-                                  blur_offset=cfg.gaussian_blur_offset)
-
-        # same pseudo-random map content as the CPU baseline
-        idx = np.arange(H * W, dtype=np.uint64)
-        probs = ((idx * 2654435761 & 0xFFFF) / 65535.0).astype(np.float32)
-        fine_probs = jnp.asarray(probs.reshape(H, W))
-        coarse_probs = jnp.full((256, 256), 0.3, jnp.float32)
-        offset = jnp.array([10.24, 10.24], jnp.float32)
-        coff = jnp.array([10.24, 10.24], jnp.float32)
-
-        ang = np.linspace(-2.35, 2.35, beams)
-        r = 3.0 + 2.0 * np.sin(5 * ang)
-        P = cfg.max_points
-        points = np.zeros((P, 2), np.float32)
-        points[:beams, 0] = r * np.cos(ang)
-        points[:beams, 1] = r * np.sin(ang)
-        mask = np.zeros(P, bool)
-        mask[:beams] = True
-        points, mask = jnp.asarray(points), jnp.asarray(mask)
-        n_valid = jnp.int32(beams)
-        inits = jnp.tile(jnp.array([[0.01, 0.0, 0.0]], jnp.float32),
-                         (batch, 1))
+        w = headline_workload(beams)
+        cfg, matcher = w["cfg"], w["matcher"]
+        fine_spec, coarse_spec = w["fine_spec"], w["coarse_spec"]
+        fine_probs, coarse_probs = w["fine_probs"], w["coarse_probs"]
+        offset, coff = w["offset"], w["coff"]
+        points, mask, n_valid = w["points"], w["mask"], w["n_valid"]
+        inits = jnp.tile(w["init_pose"][None], (batch, 1))
 
     from roborts_slam_tpu.bench.timing import k_slope_dynamic
 
@@ -261,7 +244,6 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
 
 def main():
     import argparse
-    import signal
     import sys
 
     t0 = time.monotonic()
@@ -286,6 +268,16 @@ def main():
 
     local_path = os.path.join(REPO, "BENCH_LOCAL.json")
 
+    def load_local() -> dict:
+        try:
+            with open(local_path) as fh:
+                d = json.load(fh)
+            if "metric" in d:          # legacy flat record
+                d = {d["metric"]: d}
+            return d
+        except (OSError, ValueError):
+            return {}
+
     def emit(tpu, cpu, degraded=False):
         rec = {"metric": metric, "value": round(tpu, 2),
                "unit": "scans/sec/chip", "vs_baseline": round(tpu / cpu, 2)}
@@ -293,9 +285,11 @@ def main():
             rec["degraded"] = True
         else:
             try:                      # last-known-good for the stale fallback
-                rec_disk = dict(rec, measured_at=time.strftime("%Y-%m-%d %H:%M"))
+                d = load_local()
+                d[metric] = dict(rec,
+                                 measured_at=time.strftime("%Y-%m-%d %H:%M"))
                 with open(local_path, "w") as fh:
-                    json.dump(rec_disk, fh)
+                    json.dump(d, fh, indent=1)
             except OSError:
                 pass
         print(json.dumps(rec), flush=True)
@@ -313,13 +307,17 @@ def main():
 
     # hard stop: emit a degraded-but-honest number from whatever K points
     # completed instead of overrunning the driver's budget (BENCH_r02 was
-    # rc=124 with nothing captured)
+    # rc=124 with nothing captured). A watchdog THREAD, not SIGALRM: the
+    # failure being guarded is a relay compile hung inside a blocking C++
+    # call on the main thread, where a signal handler could never run.
+    import threading
+
     partial = {}
     hard_s = float(os.environ.get("BENCH_HARD_S", "500"))
     k_points = tuple(int(x) for x in
                      os.environ.get("BENCH_K", "16,64").split(","))
 
-    def on_alarm(signum, frame):
+    def on_deadline():
         if partial:
             k = max(partial)
             # includes the dispatch floor -> a LOWER bound on throughput
@@ -330,26 +328,28 @@ def main():
             os._exit(0)
         # relay compile never finished (observed 4->8+ min variance for the
         # SAME cached program): fall back to the last successful local
-        # measurement, clearly marked stale, instead of an empty scoreboard
-        if os.path.exists(local_path):
-            with open(local_path) as fh:
-                rec = json.load(fh)
+        # measurement OF THIS METRIC, clearly marked stale, instead of an
+        # empty scoreboard
+        rec = load_local().get(metric)
+        if rec:
             rec["stale"] = True
             rec["note"] = "relay compile exceeded deadline; last-known-good"
             log(f"hard deadline in compile: emitting stale result from "
                 f"{rec.get('measured_at')}")
             print(json.dumps(rec), flush=True)
+            sys.stdout.flush()
             os._exit(0)
         log("hard deadline hit before any measurement; aborting")
         os._exit(3)
 
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(int(hard_s))
+    watchdog = threading.Timer(hard_s, on_deadline)
+    watchdog.daemon = True
+    watchdog.start()
 
     deadline = t0 + float(os.environ.get("BENCH_BUDGET_S", "300"))
     tpu = tpu_scans_per_sec(beams=beams, content=content, k_points=k_points,
                             deadline=deadline, log=log, partial_out=partial)
-    signal.alarm(0)
+    watchdog.cancel()
     emit(tpu, cpu)
 
 

@@ -182,9 +182,15 @@ class Backend:
         for b, chain in enumerate(chain_id_lists):
             ids[b, :min(len(chain), K)] = chain[:K]
         all_pts, all_msk, all_nv, all_poses, _cap = st.device_arrays()
-        pub = st.pub_map_arrays()
+        # ONE atomic snapshot tuple: (pub_spec, hits, passes, offset). The
+        # pub map can grow mid-run (engine._grow_pub_to); pairing arrays
+        # with the spec they were built under keeps this thread consistent
+        # even if the engine swaps both while we run.
+        pub_spec, *pub = st.pub_map_arrays()
+        spec = (self.spec if pub_spec == self.spec.pub_spec
+                else dataclasses.replace(self.spec, pub_spec=pub_spec))
         bpose, bscore, bcov = chain_match_batch_gather(
-            self.spec, all_pts, all_msk, all_nv, all_poses,
+            spec, all_pts, all_msk, all_nv, all_poses,
             jnp.asarray(ids), jnp.int32(scan_id), jnp.asarray(inits),
             jnp.asarray(st.poses[scan_id], jnp.float32),
             *pub,

@@ -53,6 +53,10 @@ class ScanStore:
     def __init__(self, max_points: int,
                  running_range_max_scans: int = 70,
                  running_range_max_distance: float = 5.0):
+        # guards every mutation/snapshot against the async back-end worker
+        # (device_arrays' whole-list numpy snapshots would otherwise race
+        # the main thread's add())
+        self._lock = threading.RLock()
         self.max_points = max_points
         self._points: list[np.ndarray] = []
         self._masks: list[np.ndarray] = []
@@ -61,7 +65,10 @@ class ScanStore:
         self.poses: list[np.ndarray] = []        # world poses (mutable on correction)
         self.odoms: list[np.ndarray] = []
         self.times: list[float] = []
-        self._pub_arrays = None                  # set by engine each frontend step
+        # (pub_spec, hits, passes, offset) — ONE atomic tuple so the async
+        # back-end worker always pairs arrays with the spec they were built
+        # under (the pub map can grow mid-run, _grow_pub_to)
+        self._pub_arrays = None
         # incremental barycenter cache: O(1) append, invalidated only by
         # pose corrections (the round-1 version rebuilt the full (N, 3)
         # array from python lists on every back-end call — O(N) per scan,
@@ -90,6 +97,15 @@ class ScanStore:
 
     def add(self, points: np.ndarray, mask: np.ndarray, n_valid: int,
             pose: np.ndarray, odom: np.ndarray, t: float) -> int:
+        with self._lock:
+            return self._add_locked(points, mask, n_valid, pose, odom, t)
+
+    def _add_locked(self, points, mask, n_valid: int, pose, odom, t: float
+                    ) -> int:
+        # defensive copies: callers (process_points ingest) may reuse their
+        # scan buffers between calls; the store owns its data
+        points = np.array(points, np.float32, copy=True)
+        mask = np.array(mask, bool, copy=True)
         self._points.append(points)
         self._masks.append(mask)
         self._n_valid.append(int(n_valid))
@@ -122,12 +138,14 @@ class ScanStore:
             self.running_ids.pop(0)
 
     def set_pose(self, scan_id: int, pose: np.ndarray):
-        self.poses[scan_id] = np.asarray(pose, np.float64).copy()
-        self._bary_dirty_from = min(self._bary_dirty_from, scan_id)
-        self._dev_poses_stale = True
+        with self._lock:
+            self.poses[scan_id] = np.asarray(pose, np.float64).copy()
+            self._bary_dirty_from = min(self._bary_dirty_from, scan_id)
+            self._dev_poses_stale = True
 
     def poses_array(self) -> np.ndarray:
-        return np.asarray(self.poses)
+        with self._lock:
+            return np.asarray(self.poses)
 
     def _bary_of(self, ids) -> np.ndarray:
         """pose ⊕ local centroid, keeping yaw (UpdateBarycenterPose,
@@ -143,6 +161,10 @@ class ScanStore:
         """World barycenter pose per scan, served from the incremental
         cache: appends fill rows as scans arrive; pose corrections mark a
         dirty suffix that is recomputed lazily in one vectorized pass."""
+        with self._lock:
+            return self._barycenters_locked()
+
+    def _barycenters_locked(self) -> np.ndarray:
         n = len(self)
         if self._bary_dirty_from < n:
             ids = range(self._bary_dirty_from, n)
@@ -156,6 +178,10 @@ class ScanStore:
                 jnp.int32(self._n_valid[scan_id]))
 
     def gather_chain(self, ids: list[int], pad_k: int):
+        with self._lock:
+            return self._gather_chain_locked(ids, pad_k)
+
+    def _gather_chain_locked(self, ids: list[int], pad_k: int):
         pts = np.zeros((pad_k, self.max_points, 2), np.float32)
         msk = np.zeros((pad_k, self.max_points), bool)
         poses = np.zeros((pad_k, 3), np.float32)
@@ -169,11 +195,12 @@ class ScanStore:
                 jnp.asarray(valid))
 
     def all_arrays(self):
-        n = len(self)
-        pts = np.stack(self._points) if n else np.zeros((0, self.max_points, 2), np.float32)
-        msk = np.stack(self._masks) if n else np.zeros((0, self.max_points), bool)
-        poses = self.poses_array().astype(np.float32)
-        return jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(poses)
+        with self._lock:
+            n = len(self)
+            pts = np.stack(self._points) if n else np.zeros((0, self.max_points, 2), np.float32)
+            msk = np.stack(self._masks) if n else np.zeros((0, self.max_points), bool)
+            poses = np.asarray(self.poses).astype(np.float32)
+            return jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(poses)
 
     def running_range_arrays(self, pad_k: int | None = None):
         """Padded arrays of the running-range window scans, the input shape
@@ -189,6 +216,10 @@ class ScanStore:
     _DEV_BUCKET_START = 256
 
     def device_arrays(self):
+        with self._lock:
+            return self._device_arrays_locked()
+
+    def _device_arrays_locked(self):
         """Device-resident (cap, ...) scan buffers, appended incrementally:
         ``(points, masks, n_valid, poses_f32, cap)``. Capacity doubles in
         buckets (one full re-upload + retrace per doubling); per-scan cost
@@ -422,7 +453,8 @@ class SlamEngine:
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
         scan_id = self.store.add(np_points, np_mask, n_valid, pose, odom, t)
         self.trajectory.append((t, pose))
-        self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
+        self.store._pub_arrays = (self.fspec.pub_spec,
+                                   self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
 
         cov = np.asarray(info.cov, np.float64)
@@ -565,7 +597,8 @@ class SlamEngine:
         self.state = self.state._replace(
             pub=CountMap(jnp.asarray(hits), jnp.asarray(passes),
                          jnp.asarray(new_off, jnp.float32)))
-        self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
+        self.store._pub_arrays = (self.fspec.pub_spec,
+                                   self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
 
     def _shift_granule(self) -> float:
@@ -660,10 +693,12 @@ class SlamEngine:
             else:
                 stop = False
             t0 = _time.perf_counter()
-            for sid, cov in batch:
-                self.backend.update_graph(sid, cov)
+            with self.timers.stage("backend_update"):
+                for sid, cov in batch:
+                    self.backend.update_graph(sid, cov)
             if batch:
-                self.backend.try_close_loop(batch[-1][0])
+                with self.timers.stage("backend_loop_closure"):
+                    self.backend.try_close_loop(batch[-1][0])
             self.diag.loop_closures = self.backend.num_loop_closures
             self.diag.backend_time_s += _time.perf_counter() - t0
             if stop:
@@ -695,6 +730,8 @@ class SlamEngine:
     def _apply_corrections_locked(self, corrected: np.ndarray):
         n_corr = corrected.shape[0]
         n = len(self.store)
+        if n_corr == 0 or n == 0:
+            return
         if n_corr < n:
             # async mode: scans accepted after the solve snapshot are not in
             # ``corrected``. Re-anchor them with the last corrected scan's
@@ -748,7 +785,8 @@ class SlamEngine:
             last_map_update_pose=jnp.array(new_pose))
         for i, (t, _) in enumerate(self.trajectory):
             self.trajectory[i] = (t, self.store.poses[i].copy())
-        self.store._pub_arrays = (self.state.pub.hits, self.state.pub.passes,
+        self.store._pub_arrays = (self.fspec.pub_spec,
+                                   self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
 
     # ---- outputs ----

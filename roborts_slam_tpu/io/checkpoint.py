@@ -134,7 +134,8 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
         map_penalize_times=jnp.asarray(z["state_map_penalize_times"]),
         scan_index=jnp.asarray(z["state_scan_index"]),
     )
-    st._pub_arrays = (engine.state.pub.hits, engine.state.pub.passes,
+    st._pub_arrays = (engine.fspec.pub_spec,
+                      engine.state.pub.hits, engine.state.pub.passes,
                       engine.state.pub.offset)
 
     # engine memory

@@ -50,6 +50,11 @@ TILE_CROP = 1408     # per-tile crop when tiling (two blocks pipeline ≤ 10 MB)
 ROW_PAD = 96         # extra rows so windows near the crop edge stay in-slab
 LANE_PAD = 256       # extra cols (aligned 128-lane load + window span)
 MAX_WINDOW_ROWS = 88 # ROW_PAD minus sublane alignment slack
+# trailing all-zero rows appended to every slab layout: masked samples
+# (invalid slots, out-of-coverage bases, loop-bound padding) decode to this
+# block and contribute exact zeros through the SAME load+rotate path — no
+# per-sample select in the kernel's inner loop
+ZERO_ROWS = MAX_WINDOW_ROWS + 8
 
 
 def _bf16_value(x: float) -> float:
@@ -150,7 +155,8 @@ def make_slab_tiles(probs, oy, ox, ty: int, tx: int, crop: int,
     cov = jax.lax.dynamic_slice(pb, (oy - lo_r, ox - lo_c), (span_r, span_c))
     tiles = [cov[i * crop:i * crop + SR, j * crop:j * crop + SC]
              for i in range(ty) for j in range(tx)]
-    return jnp.stack(tiles)
+    # masked-sample zero block (row SR.., see ZERO_ROWS)
+    return jnp.pad(jnp.stack(tiles), ((0, 0), (0, ZERO_ROWS), (0, 0)))
 
 
 # --- row-deinterleaved slab (large-stride tiers) -------------------------
@@ -175,13 +181,16 @@ def _deint_total_rows(st: int, n_space: int, crop: int) -> int:
 
 def make_deinterleaved_tiles(tiles, st: int, n_space: int,
                              default_prob: float, crop: int):
-    """(T, crop+ROW_PAD, C) tiles -> (T, st·P_h + pad, C) row-deinterleaved."""
-    T, SR, C = tiles.shape
+    """(T, crop+ROW_PAD+ZERO_ROWS, C) tiles -> row-deinterleaved layout of
+    the map rows, re-terminated with the ZERO_ROWS masked-sample block."""
+    T, SR_in, C = tiles.shape
+    SR = crop + ROW_PAD                 # map content rows (zero block off)
+    assert SR_in == SR + ZERO_ROWS, (SR_in, SR)
     P_h = _deint_plane_height(st, n_space, crop)
     pad_to = st * P_h
     fill = _bf16_value(default_prob)
     if pad_to >= SR:
-        tp = jnp.pad(tiles, ((0, 0), (0, pad_to - SR), (0, 0)),
+        tp = jnp.pad(tiles[:, :SR], ((0, 0), (0, pad_to - SR), (0, 0)),
                      constant_values=fill)
     else:
         # rows >= st*P_h >= crop + st*(n_space+2) exceed the deepest window
@@ -190,11 +199,12 @@ def make_deinterleaved_tiles(tiles, st: int, n_space: int,
     deint = (tp.reshape(T, P_h, st, C).transpose(0, 2, 1, 3)
              .reshape(T, st * P_h, C))
     tail = _deint_total_rows(st, n_space, crop) - st * P_h
-    return jnp.pad(deint, ((0, 0), (0, tail), (0, 0)), constant_values=fill)
+    deint = jnp.pad(deint, ((0, 0), (0, tail), (0, 0)), constant_values=fill)
+    return jnp.pad(deint, ((0, 0), (0, ZERO_ROWS), (0, 0)))
 
 
 def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
-                        *, rows: int):
+                        *, rows: int, zero_code: int):
     """Accumulate this (tile, angle)'s segment of dynamically-positioned
     (rows, 128) windows.
 
@@ -204,9 +214,12 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
 
     starts: int32 (T+1, A) — codes[a, starts[t,a]:starts[t+1,a]] is tile t's
             segment for angle a.
-    codes:  int32 (A, S) = by * 4096 + bx (tile-local), or -1 for samples
-            whose contribution is not read from this map (invalid slots and
-            out-of-coverage bases, compensated analytically outside).
+    codes:  int32 (A, S) = by * 4096 + bx (tile-local). Samples whose
+            contribution is not read from this map (invalid slots,
+            out-of-coverage bases — compensated analytically outside) carry
+            ``zero_code``, which decodes into the slab's trailing ZERO_ROWS
+            block: they flow through the same load+rotate chain and add
+            exact zeros, so the inner loop has NO per-sample select.
     slab:   bf16 (1, SLAB_ROWS, SLAB_COLS) — tile t's map crop, VMEM.
     out:    f32 (1, 1, rows, 128) per grid step.
     """
@@ -217,21 +230,18 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
 
     def sample_window(code):
         """One sample's aligned load + 2-axis dynamic rotate -> (rows+8, 128)."""
-        safe = jnp.maximum(code, 0)    # masked (-1) decodes to (0, 0)
-        by = safe >> 12
-        bx = safe & 4095
+        by = code >> 12
+        bx = code & 4095
         r = by & 7
         by_al = pl.multiple_of(by - r, 8)
         rl = bx & 127
         bx_al = pl.multiple_of(bx - rl, 128)
         tile = slab_ref[0, pl.ds(by_al, rows + 8), pl.ds(bx_al, 256)]
-        # dynamic rotates require 32-bit data on TPU; masked samples are
-        # zeroed instead of branched to keep the loop body a single
-        # pipelined dependency-free chain.
+        # dynamic rotates require 32-bit data on TPU
         t32 = tile.astype(jnp.float32)
         t32 = pltpu.roll(t32, (rows + 8) - r, axis=0)
         t32 = pltpu.roll(t32, 256 - rl, axis=1)
-        return jnp.where(code >= 0, t32[:, :128], 0.0)
+        return t32[:, :128]
 
     # 8-way unrolled loop over this segment (dynamic bounds); accumulation
     # lives in four loop-carried register accumulators, giving eight
@@ -241,8 +251,8 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
     UNROLL = 8
 
     def get(i):
-        # slots past the segment end belong to other tiles — mask them
-        return jnp.where(i < end, codes_ref[a, i], -1)
+        # slots past the segment end belong to other tiles — zero them
+        return jnp.where(i < end, codes_ref[a, i], zero_code)
 
     def body(s, accs):
         acc0, acc1, acc2, acc3 = accs
@@ -260,14 +270,18 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
     out_ref[0, 0] = ((acc0 + acc1) + (acc2 + acc3))[:rows]
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
-def accumulate_windows(starts, codes, tiles, rows: int,
+@functools.partial(jax.jit, static_argnames=("rows", "zero_code",
+                                             "interpret"))
+def accumulate_windows(starts, codes, tiles, rows: int, zero_code: int,
                        interpret: bool = False):
     """(T+1, A) segment bounds + (A, S) codes + (T, R, C) slab tiles ->
     (T, A, rows, 128) f32 accumulated windows."""
     T, slab_rows, slab_cols = tiles.shape
     A = codes.shape[0]
-    kernel = functools.partial(_correlation_kernel, rows=rows)
+    assert (zero_code >> 12) + rows + 8 <= slab_rows, (
+        "zero block does not cover the window depth")
+    kernel = functools.partial(_correlation_kernel, rows=rows,
+                               zero_code=zero_code)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T, A),
@@ -382,8 +396,11 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
         tiles = make_deinterleaved_tiles(tiles, st_i, N, spec.default_prob,
                                          crop)
         lby = (lby % st_i) * P_h + lby // st_i
+        zero_code = _deint_total_rows(st_i, N, crop) * 4096
+    else:
+        zero_code = (crop + ROW_PAD) * 4096
 
-    codes = jnp.where(in_cov, lby * 4096 + lbx, -1).astype(jnp.int32)
+    codes = jnp.where(in_cov, lby * 4096 + lbx, zero_code).astype(jnp.int32)
     if T > 1:
         # bucket samples by tile: per-angle stable sort on tile id builds
         # contiguous per-(tile, angle) segments for the kernel
@@ -396,16 +413,16 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
             [jnp.zeros((1, A), jnp.int32),
              jnp.cumsum(cnts, axis=0).astype(jnp.int32)])          # (T+1, A)
     else:
-        # valid slots are a prefix (see _sample_indices); masked (-1) codes
-        # inside it contribute zero and are compensated via n_default
+        # valid slots are a prefix (see _sample_indices); masked codes
+        # inside it read the zero block and are compensated via n_default
         n_prefix = jnp.sum(svalid.astype(jnp.int32))
         starts = jnp.stack([jnp.zeros((), jnp.int32), n_prefix])[
             :, None] * jnp.ones((1, A), jnp.int32)
     # pad so the unrolled loop's last iteration stays in bounds
-    codes = jnp.pad(codes, ((0, 0), (0, 8)), constant_values=-1)
+    codes = jnp.pad(codes, ((0, 0), (0, 8)), constant_values=zero_code)
 
     acc = accumulate_windows(starts, codes, tiles, rows=rows,
-                             interpret=interpret)
+                             zero_code=zero_code, interpret=interpret)
     acc = jnp.sum(acc, axis=0) if T > 1 else acc[0]
     if deint:
         lattice = acc[:, 0:N, 0:span:st_i]              # (A, N, N) [ky, kx]

@@ -46,7 +46,9 @@ def take_builder(probs, oy, ox, ty, tx, crop, default_prob):
             ix = oob(ox + j * crop + jnp.arange(SC), W)
             tiles.append(jnp.take(rows, ix, axis=1, mode="fill",
                                   fill_value=fill))
-    return jnp.stack(tiles)
+    # round-3 slab layouts end in a ZERO_ROWS masked-sample block; append
+    # it so the r2 builder stays drop-in for the A/B
+    return jnp.pad(jnp.stack(tiles), ((0, 0), (0, C.ZERO_ROWS), (0, 0)))
 
 
 def main():

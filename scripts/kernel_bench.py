@@ -28,9 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from roborts_slam_tpu.bench.timing import k_slope_dynamic
-from roborts_slam_tpu.config import load_config
-from roborts_slam_tpu.frontend.matchers import MatcherParams
-from roborts_slam_tpu.models.grid_map import ProbMapSpec
 from roborts_slam_tpu.ops.pallas import correlation as C
 
 T0 = time.time()
@@ -41,28 +38,14 @@ def log(msg):
 
 
 def setup(beams=1081):
-    cfg = load_config("/root/reference/config/simulatin_param.yaml")
-    matcher = MatcherParams.from_config(cfg, use_center_penalty=True)
-    H = W = 2048
-    spec = ProbMapSpec(resolution=0.01, height=H, width=W,
-                       deviation=cfg.fine_map_deviation,
-                       blur_offset=cfg.gaussian_blur_offset)
-    idx = np.arange(H * W, dtype=np.uint64)
-    probs = jnp.asarray(((idx * 2654435761 & 0xFFFF) / 65535.0)
-                        .astype(np.float32).reshape(H, W))
-    offset = jnp.array([10.24, 10.24], jnp.float32)
-    ang = np.linspace(-2.35, 2.35, beams)
-    r = 3.0 + 2.0 * np.sin(5 * ang)
-    P = cfg.max_points
-    points = np.zeros((P, 2), np.float32)
-    points[:beams, 0] = r * np.cos(ang)
-    points[:beams, 1] = r * np.sin(ang)
-    mask = np.zeros(P, bool)
-    mask[:beams] = True
+    from roborts_slam_tpu.bench.workload import headline_workload
+
+    w = headline_workload(beams)
+    matcher = w["matcher"]
     tiers = {"coarse": matcher.coarse, "fine": matcher.fine,
              "super": matcher.super_fine}
-    return (spec, probs, offset, jnp.asarray(points), jnp.asarray(mask),
-            jnp.int32(beams), tiers)
+    return (w["fine_spec"], w["fine_probs"], w["offset"], w["points"],
+            w["mask"], w["n_valid"], tiers)
 
 
 def time_tier(name, params, spec, probs, offset, points, mask, n_valid,
@@ -123,7 +106,7 @@ def main():
     ap.add_argument("--tiers", nargs="*",
                     default=["coarse", "fine", "super"])
     ap.add_argument("--slab", action="store_true")
-    ap.add_argument("--k", default="8,32")
+    ap.add_argument("--k", default="64,256")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     k_points = tuple(int(x) for x in args.k.split(","))
@@ -138,7 +121,7 @@ def main():
         time_slab(spec, probs, offset, k_points, args.reps)
     if len(args.tiers) == 3:
         log(f"3-tier kernel total: {total * 1e6:.1f} us/match "
-            f"(headline match ~{1e6 * 16 / 3404:.0f} us/scan at r3 rate)")
+            f"(r3 headline ran at ~{1e6 / 3404:.0f} us/scan)")
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ run() {
 # 1. device smoke incl. zero-region kernel parity + perf budget seed
 run smoke 2400 env PERF_REBASELINE=1 python scripts/tpu_smoke.py
 # 2. per-tier kernel numbers (zero-region effect vs r1 docs)
-run kernel_bench 2400 python scripts/kernel_bench.py --slab --k 8,32
+run kernel_bench 2400 python scripts/kernel_bench.py --slab
 # 3. fresh headline with the zero-region kernel
 run bench 1200 env BENCH_HARD_S=1000 python bench.py
 # 4. sustained end-to-end rows (sync + async), then the report

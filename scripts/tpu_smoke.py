@@ -192,39 +192,21 @@ def perf_pin_check():
     import jax.numpy as jnp
 
     from roborts_slam_tpu.bench.timing import k_slope_dynamic
-    from roborts_slam_tpu.config import load_config
-    from roborts_slam_tpu.frontend.matchers import MatcherParams, scan_match
-    from roborts_slam_tpu.models.grid_map import ProbMapSpec
+    from roborts_slam_tpu.frontend.matchers import scan_match
 
     budget_path = os.path.join(REPO, "scripts", "perf_budgets.json")
     budgets = json.load(open(budget_path)) if os.path.exists(budget_path) \
         else {}
 
-    cfg = load_config("/root/reference/config/simulatin_param.yaml")
-    matcher = MatcherParams.from_config(cfg, use_center_penalty=True)
-    H = W = 2048
-    fine_spec = ProbMapSpec(resolution=0.01, height=H, width=W,
-                            deviation=cfg.fine_map_deviation,
-                            blur_offset=cfg.gaussian_blur_offset)
-    coarse_spec = ProbMapSpec(resolution=0.08, height=256, width=256,
-                              deviation=cfg.coarse_map_deviation,
-                              blur_offset=cfg.gaussian_blur_offset)
-    idx = np.arange(H * W, dtype=np.uint64)
-    fine_probs = jnp.asarray(((idx * 2654435761 & 0xFFFF) / 65535.0)
-                             .astype(np.float32).reshape(H, W))
-    coarse_probs = jnp.full((256, 256), 0.3, jnp.float32)
-    offset = jnp.array([10.24, 10.24], jnp.float32)
-    coff = jnp.array([10.24, 10.24], jnp.float32)
-    ang = np.linspace(-2.35, 2.35, 1081)
-    r = 3.0 + 2.0 * np.sin(5 * ang)
-    P = cfg.max_points
-    points = np.zeros((P, 2), np.float32)
-    points[:1081, 0] = r * np.cos(ang)
-    points[:1081, 1] = r * np.sin(ang)
-    mask = np.zeros(P, bool)
-    mask[:1081] = True
-    points, mask = jnp.asarray(points), jnp.asarray(mask)
-    init = jnp.array([0.01, 0.0, 0.0], jnp.float32)
+    from roborts_slam_tpu.bench.workload import headline_workload
+
+    w = headline_workload()
+    matcher, fine_spec, coarse_spec = (w["matcher"], w["fine_spec"],
+                                       w["coarse_spec"])
+    fine_probs, coarse_probs = w["fine_probs"], w["coarse_probs"]
+    offset, coff = w["offset"], w["coff"]
+    points, mask, n_valid = w["points"], w["mask"], w["n_valid"]
+    init = w["init_pose"]
 
     @jax.jit
     def chain(fp, K):
@@ -232,14 +214,21 @@ def perf_pin_check():
             pose, acc = carry
             out = scan_match(matcher, fine_spec, fp, offset, coarse_spec,
                              coarse_probs, coff, points, mask,
-                             jnp.int32(1081), pose)
+                             n_valid, pose)
             return (out.pose + 1e-6 * i, acc + out.score)
         return jax.lax.fori_loop(0, K, body, (init, jnp.float32(0)))[1]
 
     f = lambda seed, K: chain(fine_probs + jnp.float32(seed) * 1e-7,
                               jnp.int32(K))
-    sec, _ = k_slope_dynamic(f, k_points=(4, 16), reps=3)
+    # K spread sized so the device-time delta (~200 x 0.3 ms) dwarfs the
+    # tunnel's +-10 ms execution jitter; (4,16) measured a bogus 0 us here
+    sec, _ = k_slope_dynamic(f, k_points=(64, 256), reps=3)
     us = sec * 1e6
+    if not 50.0 < us < 5000.0:
+        check("perf/3-tier match measurement plausible", False,
+              f"{us:.1f} us — slope collapsed (jitter swamped the K delta "
+              "or the loop body folded); NOT saved as a budget")
+        return
     budget = budgets.get("three_tier_match_us")
     if os.environ.get("PERF_REBASELINE") or budget is None:
         budgets["three_tier_match_us"] = round(us, 1)
@@ -247,8 +236,10 @@ def perf_pin_check():
             json.dump(budgets, fh, indent=1)
         check("perf/3-tier match budget (re)baselined", True, f"{us:.0f} us")
         return
-    check("perf/3-tier match within budget", us < 1.5 * budget,
-          f"{us:.0f} us vs budget {budget:.0f} us (+50% gate)")
+    # two-sided: impossibly-fast is the classic broken-measurement symptom
+    # (PERFORMANCE.md "known quirks"), so it must FAIL too
+    check("perf/3-tier match within budget", 0.5 * budget < us < 1.5 * budget,
+          f"{us:.0f} us vs budget {budget:.0f} us (±50% gate)")
 
 
 def main():
