@@ -10,11 +10,19 @@ publishes no numbers, BASELINE.md).
 Measurement notes: timed with the two-point K-scaling slope protocol
 (roborts_slam_tpu/bench/timing.py) — K matches chained in ONE jitted
 program (a lax.fori_loop whose carried pose feeds the next match, exactly
-the online SLAM dependency chain), batched over B independent scans (the
-back-end chain-match / loop-closure verification workload shape), result
-fetched to host, inputs perturbed per rep, slope of t(K2)-t(K1). This is
-the only protocol that survives the tunnel's dispatch pipelining and
-relay-side memoization (see timing.py for the validation).
+the online SLAM dependency chain), result fetched to host, inputs
+perturbed per rep, slope of t(K2)-t(K1). This is the only protocol that
+survives the tunnel's dispatch pipelining and relay-side memoization (see
+timing.py for the validation).
+
+The chain is SEQUENTIAL (batch=1): each match consumes the previous
+match's pose, mirroring the reference's online front end, which is the
+same serial dependency the baseline's CPU loop executes. Round-3
+measurement: the vmapped batch variant (B=16/32/64) costs ~315 us/scan
+against 210 us/scan sequential — the per-scan slab crop (dynamic_slice
+with per-scan starts) lowers poorly under vmap — so batching is NOT used
+for the headline; BENCH_BATCH>1 re-enables it for the back-end fan-out
+experiment.
 
 Driver-budget hardening (round 3): the K bound is a TRACED fori_loop
 argument, so the whole bench compiles exactly ONE program (a cold tunnel
@@ -168,8 +176,8 @@ def write_scene_files(content, out_dir: str) -> tuple[str, str]:
     return map_file, scan_file
 
 
-def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
-                      k_points=(16, 64), reps: int = 3,
+def tpu_scans_per_sec(beams: int = 1081, batch: int = 1,
+                      k_points=(64, 256), reps: int = 3,
                       content: dict | None = None,
                       deadline: float | None = None, log=None,
                       partial_out: dict | None = None) -> float:
@@ -224,7 +232,11 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 16,
             # feed the matched pose into the next match (the online SLAM
             # dependency chain); epsilon keeps the loop body live
             poses, acc = carry
-            p, s = jax.vmap(one)(poses)
+            if batch == 1:
+                p, s = one(poses[0])
+                p, s = p[None], s[None]
+            else:
+                p, s = jax.vmap(one)(poses)
             return (p + 1e-6 * i, acc + s.sum())
 
         # K is a TRACED bound: one executable serves every K point (a cold
@@ -262,7 +274,7 @@ def main():
     args = ap.parse_args()
 
     beams = 1081
-    batch = 16
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     metric = (f"correlative_scan_match_throughput_{args.scene}"
               if args.scene else "correlative_scan_match_throughput")
 
@@ -283,8 +295,11 @@ def main():
                "unit": "scans/sec/chip", "vs_baseline": round(tpu / cpu, 2)}
         if degraded:
             rec["degraded"] = True
-        else:
-            try:                      # last-known-good for the stale fallback
+        elif not os.environ.get("BENCH_PLATFORM"):
+            # last-known-good for the stale fallback. Only real-platform runs
+            # qualify: a BENCH_PLATFORM=cpu smoke run measures the HOST and
+            # must never masquerade as the chip's last-known-good.
+            try:
                 d = load_local()
                 d[metric] = dict(rec,
                                  measured_at=time.strftime("%Y-%m-%d %H:%M"))
@@ -314,8 +329,10 @@ def main():
 
     partial = {}
     hard_s = float(os.environ.get("BENCH_HARD_S", "500"))
+    # K spread sized so the device-time delta (~192 x 0.2 ms sequential)
+    # dwarfs the tunnel's +-10 ms execution jitter
     k_points = tuple(int(x) for x in
-                     os.environ.get("BENCH_K", "16,64").split(","))
+                     os.environ.get("BENCH_K", "64,256").split(","))
 
     def on_deadline():
         if partial:

@@ -204,13 +204,20 @@ def make_deinterleaved_tiles(tiles, st: int, n_space: int,
 
 
 def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
-                        *, rows: int, zero_code: int):
-    """Accumulate this (tile, angle)'s segment of dynamically-positioned
-    (rows, 128) windows.
+                        *, rows: int, zero_code: int, n_angles: int):
+    """Accumulate every angle's segment of dynamically-positioned
+    (rows, 128) windows for this tile.
 
     Mosaic requires aligned vector-load starts (sublane multiple-of-8, lane
     multiple-of-128), so each sample loads the aligned superset tile and
     dynamic-rotates it into place on both axes.
+
+    The angle loop runs INSIDE the kernel (grid is (T,) only): a (T, A)
+    grid paid ~2.2 us of per-step pipeline overhead, which at 62 grid
+    steps per 3-tier match was ~135 us — more than the actual sample
+    accumulation work (round-3 measurement, docs/PERFORMANCE.md). One
+    grid step per tile keeps the slab VMEM-resident across all angles and
+    pays the step cost once.
 
     starts: int32 (T+1, A) — codes[a, starts[t,a]:starts[t+1,a]] is tile t's
             segment for angle a.
@@ -221,15 +228,21 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
             block: they flow through the same load+rotate chain and add
             exact zeros, so the inner loop has NO per-sample select.
     slab:   bf16 (1, SLAB_ROWS, SLAB_COLS) — tile t's map crop, VMEM.
-    out:    f32 (1, 1, rows, 128) per grid step.
+    out:    f32 (1, A, rows, 128) per grid step.
     """
     t = pl.program_id(0)
-    a = pl.program_id(1)
-    start = starts_ref[t, a]
-    end = starts_ref[t + 1, a]
 
     def sample_window(code):
-        """One sample's aligned load + 2-axis dynamic rotate -> (rows+8, 128)."""
+        """One sample's aligned load + 2-axis dynamic rotate -> (rows+8, 128).
+
+        Cost-minimised pipeline (round 3): the lane rotate runs on the
+        bf16 tile BITCAST to int32 — lanes are not packed by the 16->32 bit
+        bitcast (only sublane pairs are), so a lane roll of the (R/2, 256)
+        i32 view is exact for ANY shift at half the f32 roll cost (verified
+        element-exact on v5e for rl 0/1/37/127) — and the slice to 128
+        lanes happens BEFORE the f32 convert and the sublane rotate, so
+        those run at half width too.
+        """
         by = code >> 12
         bx = code & 4095
         r = by & 7
@@ -237,37 +250,44 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
         rl = bx & 127
         bx_al = pl.multiple_of(bx - rl, 128)
         tile = slab_ref[0, pl.ds(by_al, rows + 8), pl.ds(bx_al, 256)]
-        # dynamic rotates require 32-bit data on TPU
-        t32 = tile.astype(jnp.float32)
-        t32 = pltpu.roll(t32, (rows + 8) - r, axis=0)
-        t32 = pltpu.roll(t32, 256 - rl, axis=1)
-        return t32[:, :128]
+        ti = pltpu.bitcast(tile, jnp.int32)        # ((rows+8)/2, 256)
+        ti = pltpu.roll(ti, 256 - rl, axis=1)
+        tb = pltpu.bitcast(ti[:, :128], jnp.bfloat16)
+        t32 = tb.astype(jnp.float32)               # (rows+8, 128)
+        return pltpu.roll(t32, (rows + 8) - r, axis=0)
 
-    # 8-way unrolled loop over this segment (dynamic bounds); accumulation
+    # 8-way unrolled loop over each segment (dynamic bounds); accumulation
     # lives in four loop-carried register accumulators, giving eight
     # independent load/rotate chains per iteration (the per-sample
     # load→convert→rotate→rotate chain is ~60 cycles of latency; deep ILP is
     # what hides it).
     UNROLL = 8
-
-    def get(i):
-        # slots past the segment end belong to other tiles — zero them
-        return jnp.where(i < end, codes_ref[a, i], zero_code)
-
-    def body(s, accs):
-        acc0, acc1, acc2, acc3 = accs
-        base = start + UNROLL * s
-        acc0 = acc0 + (sample_window(get(base)) + sample_window(get(base + 1)))
-        acc1 = acc1 + (sample_window(get(base + 2)) + sample_window(get(base + 3)))
-        acc2 = acc2 + (sample_window(get(base + 4)) + sample_window(get(base + 5)))
-        acc3 = acc3 + (sample_window(get(base + 6)) + sample_window(get(base + 7)))
-        return acc0, acc1, acc2, acc3
-
     zero = jnp.zeros((rows + 8, 128), jnp.float32)
-    cnt = end - start
-    acc0, acc1, acc2, acc3 = jax.lax.fori_loop(
-        0, (cnt + UNROLL - 1) // UNROLL, body, (zero, zero, zero, zero))
-    out_ref[0, 0] = ((acc0 + acc1) + (acc2 + acc3))[:rows]
+
+    def angle_body(a, carry):
+        start = starts_ref[t, a]
+        end = starts_ref[t + 1, a]
+
+        def get(i):
+            # slots past the segment end belong to other tiles — zero them
+            return jnp.where(i < end, codes_ref[a, i], zero_code)
+
+        def body(s, accs):
+            acc0, acc1, acc2, acc3 = accs
+            base = start + UNROLL * s
+            acc0 = acc0 + (sample_window(get(base)) + sample_window(get(base + 1)))
+            acc1 = acc1 + (sample_window(get(base + 2)) + sample_window(get(base + 3)))
+            acc2 = acc2 + (sample_window(get(base + 4)) + sample_window(get(base + 5)))
+            acc3 = acc3 + (sample_window(get(base + 6)) + sample_window(get(base + 7)))
+            return acc0, acc1, acc2, acc3
+
+        cnt = end - start
+        acc0, acc1, acc2, acc3 = jax.lax.fori_loop(
+            0, (cnt + UNROLL - 1) // UNROLL, body, (zero, zero, zero, zero))
+        out_ref[0, a] = ((acc0 + acc1) + (acc2 + acc3))[:rows]
+        return carry
+
+    jax.lax.fori_loop(0, n_angles, angle_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "zero_code",
@@ -281,15 +301,15 @@ def accumulate_windows(starts, codes, tiles, rows: int, zero_code: int,
     assert (zero_code >> 12) + rows + 8 <= slab_rows, (
         "zero block does not cover the window depth")
     kernel = functools.partial(_correlation_kernel, rows=rows,
-                               zero_code=zero_code)
+                               zero_code=zero_code, n_angles=A)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T, A),
+        grid=(T,),
         in_specs=[pl.BlockSpec((1, slab_rows, slab_cols),
-                               lambda t, a, starts, codes: (t, 0, 0),
+                               lambda t, starts, codes: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, rows, 128),
-                               lambda t, a, starts, codes: (t, a, 0, 0)),
+        out_specs=pl.BlockSpec((1, A, rows, 128),
+                               lambda t, starts, codes: (t, 0, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -297,7 +317,7 @@ def accumulate_windows(starts, codes, tiles, rows: int, zero_code: int,
         out_shape=jax.ShapeDtypeStruct((T, A, rows, 128), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
     )(starts, codes, tiles)
 

@@ -66,19 +66,30 @@ def time_tier(name, params, spec, probs, offset, points, mask, n_valid,
     f = lambda seed, K: chain(probs + jnp.float32(seed) * 1e-7, jnp.int32(K))
     sec, detail = k_slope_dynamic(f, k_points=k_points, reps=reps, log=None)
     A, N = params.n_angles, params.n_space
-    S = params.max_samples
+    # ACTUAL windows accumulated: the kernel's segment loop runs over the
+    # dynamically-valid sample count (the reference subsample rule yields
+    # ~use_point_size+ceil(P/step) samples, not the static max_samples pad)
+    import numpy as np
+
+    sidx, svalid, _ = __import__(
+        "roborts_slam_tpu.ops.correlative", fromlist=["x"]
+    )._sample_indices(n_valid, params.use_point_size, params.max_samples)
+    S = int(np.asarray(svalid).sum())
     windows = A * S
     st = int(round(params.search_space_resolution * spec.inv_res))
     rows = (C._window_rows(N) if st >= 3
             else C._window_rows(st * (N - 1) + 1))
-    # VPU ceiling: 8x128 f32 lanes/cycle at ~0.94 GHz; each window moves
-    # (rows+8, 256) f32 through convert+2 rolls+add ≈ 5 touches
-    els = (rows + 8) * 256 * 5
-    ceiling_s = els / (8 * 128 * 0.94e9)
+    # VPU issue model for the bitcast pipeline (1024 lanes/cycle, 0.94 GHz):
+    # load (R,256)bf16 + i32 lane-roll (R/2,256) + f32 convert/row-roll/add
+    # at (R,128) — R = rows+8. Scalar-unit address/roll setup (~10-15 ops
+    # per window) is NOT modeled and is the measured bottleneck for small R.
+    R = rows + 8
+    cycles = (R * 256 / 2 + R / 2 * 256 + 3 * R * 128) / 1024.0
+    ceiling_s = cycles / 0.94e9
     util = 100.0 * (windows * ceiling_s) / sec
     log(f"{name:7s}: {sec * 1e6:8.1f} us/call  A={A:3d} N={N:2d} S={S} "
         f"windows={windows:5d}  {sec / windows * 1e9:6.1f} ns/window  "
-        f"~{util:.0f}% of issue ceiling")
+        f"~{util:.0f}% of VPU issue ceiling")
     return sec
 
 
@@ -120,8 +131,16 @@ def main():
     if args.slab:
         time_slab(spec, probs, offset, k_points, args.reps)
     if len(args.tiers) == 3:
-        log(f"3-tier kernel total: {total * 1e6:.1f} us/match "
-            f"(r3 headline ran at ~{1e6 / 3404:.0f} us/scan)")
+        note = ""
+        try:
+            import json
+            rec = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))[
+                "correlative_scan_match_throughput"]
+            note = (f" (headline last measured ~{1e6 / rec['value']:.0f} "
+                    f"us/scan at {rec['measured_at']})")
+        except (OSError, KeyError, ValueError):
+            pass
+        log(f"3-tier kernel total: {total * 1e6:.1f} us/match{note}")
 
 
 if __name__ == "__main__":
