@@ -204,7 +204,8 @@ def make_deinterleaved_tiles(tiles, st: int, n_space: int,
 
 
 def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
-                        *, rows: int, zero_code: int, n_angles: int):
+                        *, rows: int, zero_code: int, n_angles: int,
+                        single_segment: bool):
     """Accumulate every angle's segment of dynamically-positioned
     (rows, 128) windows for this tile.
 
@@ -251,6 +252,16 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
         bx_al = pl.multiple_of(bx - rl, 128)
         tile = slab_ref[0, pl.ds(by_al, rows + 8), pl.ds(bx_al, 256)]
         ti = pltpu.bitcast(tile, jnp.int32)        # ((rows+8)/2, 256)
+        # The 256-lane dynamic roll is the single largest per-sample cost
+        # (~10 ns/window: timing with it deleted measures the 3-tier total
+        # at ~126 us vs ~205). Cheaper formulations were tried and LOST on
+        # v5e: (a) two half-width rolls + static-iota select (intra-vreg
+        # rolls, no dead upper half) measured ~226 us — the select costs
+        # more than the cross-vreg movement it saves; (b) an unaligned
+        # pl.ds(bx, 128) lane load is rejected by Mosaic ("index in
+        # dimension 2 must be a multiple of 128"). The bitcast-to-i32 view
+        # below halves the roll's data volume (lanes stay unpacked under a
+        # 16->32 bitcast; sublane pairs pack) — that one stays.
         ti = pltpu.roll(ti, 256 - rl, axis=1)
         tb = pltpu.bitcast(ti[:, :128], jnp.bfloat16)
         t32 = tb.astype(jnp.float32)               # (rows+8, 128)
@@ -268,9 +279,17 @@ def _correlation_kernel(starts_ref, codes_ref, slab_ref, out_ref,
         start = starts_ref[t, a]
         end = starts_ref[t + 1, a]
 
-        def get(i):
-            # slots past the segment end belong to other tiles — zero them
-            return jnp.where(i < end, codes_ref[a, i], zero_code)
+        if single_segment:
+            # T == 1: codes[a] is a single segment whose slots beyond
+            # ``end`` (invalid samples, the 8-slot pad) already carry
+            # zero_code by construction, so the per-sample bounds check
+            # is redundant scalar work — read straight from SMEM
+            def get(i):
+                return codes_ref[a, i]
+        else:
+            def get(i):
+                # slots past the segment end belong to other tiles — zero
+                return jnp.where(i < end, codes_ref[a, i], zero_code)
 
         def body(s, accs):
             acc0, acc1, acc2, acc3 = accs
@@ -301,7 +320,8 @@ def accumulate_windows(starts, codes, tiles, rows: int, zero_code: int,
     assert (zero_code >> 12) + rows + 8 <= slab_rows, (
         "zero block does not cover the window depth")
     kernel = functools.partial(_correlation_kernel, rows=rows,
-                               zero_code=zero_code, n_angles=A)
+                               zero_code=zero_code, n_angles=A,
+                               single_segment=(T == 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -363,7 +383,10 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
         f"pallas path requires integer candidate step, got {st}")
     span = st_i * (N - 1) + 1
     # large-stride tiers read every st-th row only: use the row-deinterleaved
-    # slab so each sample loads N contiguous rows instead of the whole span
+    # slab so each sample loads N contiguous rows instead of the whole span.
+    # st=2 measured WORSE deinterleaved (fine tier 41 -> 89 us on v5e: the
+    # pair-interleave transpose in make_deinterleaved_tiles dominates what
+    # the 32->24-sublane window saves), so the threshold stays at 3.
     deint = st_i >= 3
     rows = _window_rows(N) if deint else _window_rows(span)
     assert rows <= MAX_WINDOW_ROWS and span <= 128, (
