@@ -189,15 +189,19 @@ class Backend:
         pub_spec, *pub = st.pub_map_arrays()
         spec = (self.spec if pub_spec == self.spec.pub_spec
                 else dataclasses.replace(self.spec, pub_spec=pub_spec))
-        bpose, bscore, bcov = chain_match_batch_gather(
+        out = chain_match_batch_gather(
             spec, all_pts, all_msk, all_nv, all_poses,
             jnp.asarray(ids), jnp.int32(scan_id), jnp.asarray(inits),
             jnp.asarray(st.poses[scan_id], jnp.float32),
             *pub,
         )
-        bpose = np.asarray(bpose, np.float64)
-        bscore = np.asarray(bscore, np.float64)
-        bcov = np.asarray(bcov, np.float64)
+        # ONE host fetch for all three results: each separate np.asarray is
+        # its own device round-trip, and through the tunnel every round-trip
+        # pays the ~30-45 ms dispatch floor
+        bpose, bscore, bcov = jax.device_get(out)
+        bpose = bpose.astype(np.float64)
+        bscore = bscore.astype(np.float64)
+        bcov = bcov.astype(np.float64)
         return [(bpose[i], float(bscore[i]), bcov[i]) for i in range(B)]
 
     # ---- graph construction (UpdateGraph, range_scan_pose_graph.cpp:44-78) ----

@@ -96,6 +96,35 @@ def test_async_backend_pipeline(icra_log):
     assert ate_a < max(2.0 * ate_s, 0.15), (ate_a, ate_s)
 
 
+def test_warm_backend_is_side_effect_free(icra_log):
+    """warm_backend pre-compiles the solver/correction/chain-match programs
+    (so the first loop closure doesn't pay mid-run jit compiles) and must
+    not perturb ANY engine state: continuing the run after warming must
+    reproduce the unwarmed trajectory bit-for-bit."""
+    cfg = _small_config()
+    log = icra_log
+    n_pre = 12
+
+    plain = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    warmed = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    for eng in (plain, warmed):
+        for i in range(n_pre):
+            eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    warmed.warm_backend(solver_buckets=(64,), match_buckets=(1,))
+    g = warmed.backend.graph
+    n_v, n_e = g.num_vertices, len(g.edges)
+    for eng in (plain, warmed):
+        for i in range(n_pre, min(len(log), 60)):
+            eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+        eng.finish()
+    assert (warmed.backend.graph.num_vertices, warmed.backend.num_links) == \
+        (plain.backend.graph.num_vertices, plain.backend.num_links)
+    assert g.num_vertices >= n_v and len(g.edges) >= n_e
+    np.testing.assert_array_equal(plain.trajectory_array(),
+                                  warmed.trajectory_array())
+    np.testing.assert_array_equal(plain.get_pub_map(), warmed.get_pub_map())
+
+
 def test_checkpoint_roundtrip(tmp_path, icra_log):
     cfg = _small_config()
     log = icra_log

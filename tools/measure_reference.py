@@ -303,6 +303,11 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
         fed = i + 1
         if fed == warm:
             engine.finish()
+            # pre-compile the loop-closure / solver / correction programs:
+            # without this the FIRST loop closure pays their jit compiles
+            # inside the measured window (observed: one 95 s solver compile
+            # dominating an entire icra replay) — a robot warms at boot
+            engine.warm_backend()
             engine.timers = StageTimers()
             t_meas0 = time.time()
             kept0, fed0 = len(engine.store), fed
