@@ -158,8 +158,35 @@ class Backend:
 
     _BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
+    def max_parallel_chains(self) -> int:
+        """Largest chain-match vmap width the device can hold: each chain
+        in the batch materializes its own coarse+fine map rebuild (stamp,
+        blur dilation, match slab — ~8 live f32 temps of map size, plus
+        XLA's observed ~2.6x fragmentation on this program). On rm-scale
+        maps (30 m lidar, 1 cm fine) B=4 compiled to a 15.9 G program and
+        OOM'd a 16 G chip; larger batches are chunked instead."""
+        s = self.spec
+        cells = (s.fine_spec.height * s.fine_spec.width
+                 + s.coarse_spec.height * s.coarse_spec.width)
+        per_chain = cells * 4 * 8 * 2.6
+        return int(max(1, min(self._BATCH_BUCKETS[-1], 6e9 // per_chain)))
+
     def _match_chain_batch(self, chain_id_lists: list[list[int]],
                            scan_id: int, init_poses: np.ndarray):
+        lim = self.max_parallel_chains()
+        if len(chain_id_lists) > lim:
+            out = []
+            inits = np.asarray(init_poses, np.float32)
+            for i in range(0, len(chain_id_lists), lim):
+                chunk_inits = inits if inits.ndim == 1 else inits[i:i + lim]
+                out += self._match_chain_batch_one(
+                    chain_id_lists[i:i + lim], scan_id, chunk_inits)
+            return out
+        return self._match_chain_batch_one(chain_id_lists, scan_id,
+                                           init_poses)
+
+    def _match_chain_batch_one(self, chain_id_lists: list[list[int]],
+                               scan_id: int, init_poses: np.ndarray):
         """Match one scan against B chains in a single dispatch, gathering
         the scans from the store's device-resident buffers (the host ships
         only a (B, K) id matrix + init poses per call). B pads up to a

@@ -861,11 +861,28 @@ class SlamEngine:
             raise RuntimeError("warm_backend needs >= 1 processed scan")
         from .backend.spa import solve_pose_graph
 
+        def best_effort(fn, what):
+            # warming must never be worse than lazy compilation: a failed
+            # warm (e.g. a bucket that exceeds device memory on huge-map
+            # configs) is reported and skipped, and the live path simply
+            # compiles lazily as before
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                import warnings
+
+                warnings.warn(f"warm_backend: skipping {what}: {e!r:.200}",
+                              RuntimeWarning)
+
         # 1. chain-match batch programs (shared by LinkNearChains and both
         #    TryCloseLoop stages) at the small chain-count buckets
+        lim = self.backend.max_parallel_chains()
         for b in match_buckets:
-            self.backend._match_chain_batch([[0]] * b, 0,
-                                            self.store.poses[0].copy())
+            if b > lim:
+                continue          # live calls chunk to <= lim anyway
+            best_effort(lambda b=b: self.backend._match_chain_batch(
+                [[0]] * b, 0, self.store.poses[0].copy()),
+                f"chain-match bucket {b}")
         # 2. SPA solver at each (node, edge) shape bucket
         poses = self.store.poses_array()
         g = self.backend.graph
@@ -873,7 +890,8 @@ class SlamEngine:
             if b < g.num_vertices or b < len(g.edges):
                 continue          # bucket already outgrown
             data = g.as_solver_data(poses, pad_n=b, pad_e=b)
-            jax.block_until_ready(solve_pose_graph(data))
+            best_effort(lambda d=data: jax.block_until_ready(
+                solve_pose_graph(d)), f"solver bucket {b}")
         # 3. correction map rebuilds at each scan-count capacity bucket the
         #    trajectory may reach (shape-only dummy arrays: compiles key on
         #    shapes, and the device work per warm call — one rebuild from
@@ -889,7 +907,7 @@ class SlamEngine:
                 jnp.full_like(self.state.fine.probs,
                               self.fspec.fine_spec.default_prob),
                 self.state.fine.offset)
-        for cap in rebuild_buckets:
+        def rebuilds(cap):
             pts = jnp.zeros((cap, self.store.max_points, 2), jnp.float32)
             msk = jnp.zeros((cap, self.store.max_points), bool)
             poses_j = jnp.zeros((cap, 3), jnp.float32)
@@ -908,3 +926,6 @@ class SlamEngine:
                                  use_blur=cfg.fine_map_use_blur),
             )
             jax.block_until_ready(out)
+
+        for cap in rebuild_buckets:
+            best_effort(lambda c=cap: rebuilds(c), f"rebuild bucket {cap}")
