@@ -49,6 +49,18 @@ def load_results() -> dict:
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             return json.load(f)
+    # out/ is gitignored, so a fresh checkout has no results store — but the
+    # committed report embeds every raw record; seed the store from it so a
+    # partial re-measure doesn't silently drop the other sections' rows
+    md = os.path.join(REPO, "BASELINE_MEASURED.md")
+    if os.path.exists(md):
+        m = re.search(r"## Raw records\n\n```json\n(.*?)\n```",
+                      open(md).read(), re.S)
+        if m:
+            try:
+                return json.loads(m.group(1))
+            except ValueError:
+                pass
     return {}
 
 
