@@ -208,7 +208,7 @@ def perf_pin_check():
     points, mask, n_valid = w["points"], w["mask"], w["n_valid"]
     init = w["init_pose"]
 
-    def measure(m, key, label):
+    def measure(m, key, label, plaus=(50.0, 5000.0)):
         @jax.jit
         def chain(fp, K):
             def body(i, carry):
@@ -226,7 +226,7 @@ def perf_pin_check():
         # 0 us here
         sec, _ = k_slope_dynamic(f, k_points=(64, 256), reps=3)
         us = sec * 1e6
-        if not 50.0 < us < 5000.0:
+        if not plaus[0] < us < plaus[1]:
             check(f"perf/{label} measurement plausible", False,
                   f"{us:.1f} us — slope collapsed (jitter swamped the K "
                   "delta or the loop body folded); NOT saved as a budget")
@@ -251,10 +251,14 @@ def perf_pin_check():
     from roborts_slam_tpu.frontend.matchers import MatcherParams
 
     cfg = w["cfg"]
+    # BnB is genuinely ~20 ms on TPU: branch-and-bound's data-dependent
+    # tree walk (lax.while_loop, scalar-ish node expansion) is a poor fit —
+    # the dense Pallas sweep it replaces costs ~107 us. Pinned anyway so a
+    # further regression of the config-reachable path still fails loudly.
     bnb_m = MatcherParams.from_config(
         _dc.replace(cfg, use_fast_correlation_match=True),
         use_center_penalty=True)
-    measure(bnb_m, "bnb_match_us", "BnB-coarse match")
+    measure(bnb_m, "bnb_match_us", "BnB-coarse match", plaus=(50.0, 50000.0))
     opt_m = MatcherParams.from_config(
         _dc.replace(cfg, use_optimize_scan_match=True),
         use_center_penalty=True)
