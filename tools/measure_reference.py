@@ -341,7 +341,11 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
         "fed_scans_per_sec": (fed - fed0) / wall if wall > 0 else 0.0,
         "stages_mean_ms": {k: s.mean_ms for k, s in stages.items()},
         "stages_count": {k: s.count for k, s in stages.items()},
-        "dispatches_per_kept_scan_est": (
+        # engine stage calls per kept scan; each stage issues 1-2 device
+        # dispatches (frontend: step; backend: store append + chain match;
+        # loop: coarse batch when candidates exist, + fine/solve on a hit),
+        # so actual dispatches/scan is ~3-4
+        "stage_calls_per_kept_scan": (
             sum(s.count for s in stages.values()) / max(kept, 1)),
     }
 
@@ -404,11 +408,13 @@ def render_report(res: dict) -> str:
         lines += [
             "## Sustained end-to-end (front + back) on TPU", "",
             "Wall-clock replay through this environment's dispatch tunnel"
-            " (~30-45 ms per dispatch); `disp/scan` is the mean number of"
-            " device dispatches per kept scan, so `disp/scan x 0.1 ms`"
+            " (~30-45 ms per dispatch); `stage calls/scan` counts engine"
+            " stage invocations per kept scan — each issues 1-2 device"
+            " dispatches (~3-4 dispatches/scan total), so dispatches x"
+            " 0.1 ms"
             " estimates the same pipeline on directly-attached hardware"
             " (~100 us floor).", "",
-            "| Scene | mode | kept scans/s (tunnel) | disp/scan |"
+            "| Scene | mode | kept scans/s (tunnel) | stage calls/scan |"
             " frontend ms | backend link ms | loop ms |"
             " ref full-pipeline scans/s |",
             "|---|---|---|---|---|---|---|---|"]
@@ -420,7 +426,7 @@ def render_report(res: dict) -> str:
             ref_sps = f"{r['scans_per_sec']:.1f}" if r else "—"
             lines.append(
                 f"| {s} | {e['mode']} | {e['kept_scans_per_sec']:.1f} |"
-                f" {e['dispatches_per_kept_scan_est']:.1f} |"
+                f" {e.get('stage_calls_per_kept_scan', e.get('dispatches_per_kept_scan_est', 0)):.1f} |"
                 f" {st.get('frontend_step', 0):.0f} |"
                 f" {st.get('backend_update', 0):.0f} |"
                 f" {st.get('backend_loop_closure', 0):.0f} | {ref_sps} |")
