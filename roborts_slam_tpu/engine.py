@@ -62,6 +62,7 @@ class ScanStore:
         self._masks: list[np.ndarray] = []
         self._n_valid: list[int] = []
         self._centroids: list[np.ndarray] = []   # local-frame point centroid
+        self._local_bboxes: list[tuple] = []     # (min_xy, max_xy) local
         self.poses: list[np.ndarray] = []        # world poses (mutable on correction)
         self.odoms: list[np.ndarray] = []
         self.times: list[float] = []
@@ -112,6 +113,12 @@ class ScanStore:
         w = mask.astype(np.float64)
         denom = max(w.sum(), 1.0)
         self._centroids.append((points * w[:, None]).sum(0) / denom)
+        # sensor-local endpoint bbox, cached for O(scans) world-bbox
+        # queries after pose corrections (4-corner transform per scan)
+        pv = points[mask]
+        self._local_bboxes.append(
+            (pv.min(0), pv.max(0)) if len(pv)
+            else (np.zeros(2, np.float32), np.zeros(2, np.float32)))
         self.poses.append(np.asarray(pose, np.float64).copy())
         self.odoms.append(np.asarray(odom, np.float64).copy())
         self.times.append(float(t))
@@ -146,6 +153,34 @@ class ScanStore:
     def poses_array(self) -> np.ndarray:
         with self._lock:
             return np.asarray(self.poses)
+
+    def scans_world_bbox(self):
+        """Union world bbox over every stored scan's endpoints (bounded by
+        the rotated local bbox corners) plus the sensor positions (carve
+        rays start there). O(scans) via the cached local bboxes — used to
+        grow the pub map before a correction rebuild so arbitrarily moved
+        poses never stamp clipped (grid_map_base.h:257-274 grows per
+        stamp; the rebuild path must grow up front)."""
+        with self._lock:
+            n = len(self)
+            if n == 0:
+                return None
+            lo = np.stack([b[0] for b in self._local_bboxes])   # (n, 2)
+            hi = np.stack([b[1] for b in self._local_bboxes])
+            poses = np.asarray(self.poses)
+        # 4 corners of each local bbox -> world; bbox(rotated bbox) bounds
+        # bbox(rotated points)
+        cx = np.stack([lo[:, 0], lo[:, 0], hi[:, 0], hi[:, 0]], 1)  # (n, 4)
+        cy = np.stack([lo[:, 1], hi[:, 1], lo[:, 1], hi[:, 1]], 1)
+        c = np.cos(poses[:, 2])[:, None]
+        s = np.sin(poses[:, 2])[:, None]
+        wx = poses[:, 0:1] + c * cx - s * cy
+        wy = poses[:, 1:2] + s * cx + c * cy
+        bmin = np.array([min(wx.min(), poses[:, 0].min()),
+                         min(wy.min(), poses[:, 1].min())])
+        bmax = np.array([max(wx.max(), poses[:, 0].max()),
+                         max(wy.max(), poses[:, 1].max())])
+        return bmin, bmax
 
     def _bary_of(self, ids) -> np.ndarray:
         """pose ⊕ local centroid, keeping yaw (UpdateBarycenterPose,
@@ -286,6 +321,7 @@ class EngineDiagnostics:
     scans_dropped_gate: int = 0
     scans_dropped_move: int = 0
     loop_closures: int = 0
+    pub_clip_rebuilds: int = 0     # post-match growth events (_ensure_pub_covers)
     match_time_s: float = 0.0
     backend_time_s: float = 0.0
 
@@ -471,6 +507,7 @@ class SlamEngine:
         self.store._pub_arrays = (self.fspec.pub_spec,
                                    self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
+        self._ensure_pub_covers(pose, np_points, np_mask)
 
         cov = np.asarray(info.cov, np.float64)
         if self.synchronous_backend:
@@ -542,6 +579,67 @@ class SlamEngine:
                          s * odom[0] + c * odom[1] + ty,
                          dth + odom[2]])
 
+    def _search_pad(self) -> float:
+        """Slack (m) the pre-dispatch pub growth adds around the PREDICTED
+        scan bbox: the matched pose can translate from the prediction by at
+        most the stacked correlative search half-windows (coarse — or the
+        BnB window replacing it — then fine, then super-fine refinements,
+        scan_matchers.h:307-355), plus cell-rounding slack. Rotational
+        search can move endpoints further; that tail is caught exactly by
+        the post-match clip check (_ensure_pub_covers), so it does not
+        inflate every growth."""
+        cfg = self.config
+        coarse = cfg.coarse_search_space_size
+        if cfg.use_fast_correlation_match:
+            coarse = max(coarse, cfg.fast_match_space_size)
+        return (0.5 * (coarse + cfg.fine_search_space_size
+                       + cfg.super_fine_search_space_size)
+                + 2.0 * self.fspec.pub_spec.resolution)
+
+    def _grow_pub_to_bbox(self, bmin: np.ndarray, bmax: np.ndarray,
+                          _locked: bool = False) -> bool:
+        """Grow the pub map (never shrinks) so [bmin, bmax] (world meters)
+        is inside its extent; returns True if it grew. Callers must NOT
+        hold the state lock unless they pass ``_locked=True``."""
+        spec = self.fspec.pub_spec
+        res = spec.resolution
+        off = np.asarray(self.state.pub.offset, np.float64)
+        extent = np.array([spec.width, spec.height]) * res      # (x, y) m
+        need_lo = np.maximum(0.0, -(np.asarray(bmin) + off))    # m past low edge
+        need_hi = np.maximum(0.0, (np.asarray(bmax) + off) - extent)
+        if (need_lo <= 0).all() and (need_hi <= 0).all():
+            return False
+        align = self._PUB_GROW_ALIGN
+        cells = lambda m: (-(-np.ceil(m / res).astype(np.int64) // align)
+                           * align)
+        grow_lo = np.where(need_lo > 0, cells(need_lo), 0)      # (x, y) cells
+        grow_hi = np.where(need_hi > 0, cells(need_hi), 0)
+        if _locked:
+            self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
+                              spec.height + int(grow_lo[1] + grow_hi[1]),
+                              int(grow_lo[0]), int(grow_lo[1]))
+        else:
+            with self._state_lock:
+                self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
+                                  spec.height + int(grow_lo[1] + grow_hi[1]),
+                                  int(grow_lo[0]), int(grow_lo[1]))
+        return True
+
+    def _scan_world_bbox(self, pose: np.ndarray, points: np.ndarray,
+                         mask: np.ndarray):
+        pts = points[mask]
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        if len(pts):
+            wx = pose[0] + c * pts[:, 0] - s * pts[:, 1]
+            wy = pose[1] + s * pts[:, 0] + c * pts[:, 1]
+        else:
+            wx = wy = np.zeros(0)
+        bmin = np.array([min(wx.min(initial=pose[0]), pose[0]),
+                         min(wy.min(initial=pose[1]), pose[1])])
+        bmax = np.array([max(wx.max(initial=pose[0]), pose[0]),
+                         max(wy.max(initial=pose[1]), pose[1])])
+        return bmin, bmax
+
     def _maybe_grow_pub(self, pose: np.ndarray, points: np.ndarray,
                         mask: np.ndarray):
         """Grow the published map so this scan's world bound box fits — the
@@ -550,36 +648,47 @@ class SlamEngine:
         cells in, grid_map_base.h:188-274). Runs BEFORE the stamp dispatch
         (the reference grows inside UpdateMapByRange for the same reason);
         host-side re-allocation in 256-cell buckets keeps shapes static per
-        bucket — one jit retrace per growth event."""
+        bucket — one jit retrace per growth event. The pad covers the
+        match-vs-predict translation bound (_search_pad); anything beyond it
+        (rotational search) is caught post-match by _ensure_pub_covers."""
+        bmin, bmax = self._scan_world_bbox(pose, points, mask)
+        pad = self._search_pad()
+        self._grow_pub_to_bbox(bmin - pad, bmax + pad)
+
+    def _ensure_pub_covers(self, pose: np.ndarray, points: np.ndarray,
+                           mask: np.ndarray):
+        """Post-match safety net: if the ACCEPTED pose moved the scan's
+        endpoints past the pub extent despite the pre-dispatch pad (a large
+        rotational correction can), grow the map and rebuild it exactly
+        from the store — the in-step stamp clipped those cells, and a
+        re-stamp would double-count the in-bounds ones (count cells are not
+        idempotent). Rare by construction; counted in diag."""
+        bmin, bmax = self._scan_world_bbox(pose, points, mask)
         spec = self.fspec.pub_spec
-        res = spec.resolution
         off = np.asarray(self.state.pub.offset, np.float64)
-        extent = np.array([spec.width, spec.height]) * res      # (x, y) m
-        pts = points[mask]
-        c, s = np.cos(pose[2]), np.sin(pose[2])
-        if len(pts):
-            wx = pose[0] + c * pts[:, 0] - s * pts[:, 1]
-            wy = pose[1] + s * pts[:, 0] + c * pts[:, 1]
-        else:
-            wx = wy = np.zeros(0)
-        pad = 0.5    # slack (m) absorbing match-vs-predict pose delta
-        bmin = np.array([min(wx.min(initial=pose[0]), pose[0]),
-                         min(wy.min(initial=pose[1]), pose[1])]) - pad
-        bmax = np.array([max(wx.max(initial=pose[0]), pose[0]),
-                         max(wy.max(initial=pose[1]), pose[1])]) + pad
-        need_lo = np.maximum(0.0, -(bmin + off))                # m past low edge
-        need_hi = np.maximum(0.0, (bmax + off) - extent)
-        if (need_lo <= 0).all() and (need_hi <= 0).all():
+        extent = np.array([spec.width, spec.height]) * spec.resolution
+        if ((bmin + off >= 0).all() and (bmax + off <= extent).all()):
             return
-        align = self._PUB_GROW_ALIGN
-        cells = lambda m: (-(-np.ceil(m / res).astype(np.int64) // align)
-                           * align)
-        grow_lo = np.where(need_lo > 0, cells(need_lo), 0)      # (x, y) cells
-        grow_hi = np.where(need_hi > 0, cells(need_hi), 0)
+        self._grow_pub_to_bbox(bmin, bmax)
+        self.diag.pub_clip_rebuilds += 1
         with self._state_lock:
-            self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
-                              spec.height + int(grow_lo[1] + grow_hi[1]),
-                              int(grow_lo[0]), int(grow_lo[1]))
+            self._rebuild_pub_locked()
+
+    def _rebuild_pub_locked(self):
+        """Rebuild the pub map from every stored scan at its current pose
+        (InitMapWithRangeVec on the pub map, slam_processor.cpp:350-366).
+        Callers hold the state lock."""
+        cfg = self.config
+        pts, msk, poses, valid = self.store.all_arrays()
+        pub = rebuild_count_map(
+            self.fspec.pub_spec, self.state.pub.offset, pts, msk, poses,
+            valid, jnp.float32(cfg.map_update_free_factor),
+            jnp.float32(cfg.map_update_occu_factor),
+            first_scan_extra=int(cfg.map_min_passthrough))
+        self.state = self.state._replace(pub=pub)
+        self.store._pub_arrays = (self.fspec.pub_spec,
+                                  self.state.pub.hits, self.state.pub.passes,
+                                  self.state.pub.offset)
 
     def _grow_pub_to(self, new_w: int, new_h: int,
                      shift_x_cells: int, shift_y_cells: int):
@@ -770,6 +879,13 @@ class SlamEngine:
                     np.arctan2(np.sin(th), np.cos(th))]))
         for sid in range(n_corr):
             self.store.set_pose(sid, corrected[sid])
+        # corrections move poses arbitrarily (a loop closure can swing the
+        # whole trailing trajectory); grow the pub map to the corrected
+        # scans' union bbox BEFORE the rebuild so no stamp clips
+        # (the reference's rebuild grows per-stamp, grid_map_base.h:257-274)
+        bbox = self.store.scans_world_bbox()
+        if bbox is not None:
+            self._grow_pub_to_bbox(bbox[0], bbox[1], _locked=True)
         pts, msk, poses, valid = self.store.all_arrays()
         cfg = self.config
         pub = rebuild_count_map(
@@ -842,8 +958,9 @@ class SlamEngine:
         self.backend.force_optimize()
 
     def warm_backend(self, solver_buckets: tuple[int, ...] = (64, 128, 256),
-                     match_buckets: tuple[int, ...] = (1, 2, 4),
-                     rebuild_buckets: tuple[int, ...] = (64, 128, 256)):
+                     match_buckets: tuple[int, ...] | None = None,
+                     rebuild_buckets: tuple[int, ...] = (64, 128, 256),
+                     calibrate: bool = True):
         """Pre-compile the back end's device programs so the FIRST loop
         closure does not pay jit compilation in the middle of a run.
 
@@ -875,23 +992,45 @@ class SlamEngine:
                               RuntimeWarning)
 
         # 1. chain-match batch programs (shared by LinkNearChains and both
-        #    TryCloseLoop stages) at the small chain-count buckets
+        #    TryCloseLoop stages). Calibration AOT-compiles each bucket AND
+        #    records the compiler's peak memory per bucket, which sets the
+        #    live chunking cap (Backend.max_parallel_chains); then warm the
+        #    dispatch path at every bucket the chunker can actually emit —
+        #    live calls bucket up to the cap, not only (1, 2, 4) (icra
+        #    computes a cap of 16, so the first >4-chain scan used to pay a
+        #    fresh mid-run compile).
+        if calibrate:
+            best_effort(lambda: self.backend.calibrate_chain_batch(),
+                        "chain-match calibration")
         lim = self.backend.max_parallel_chains()
+        step = max((b for b in self.backend._BATCH_BUCKETS if b <= lim),
+                   default=1)
+        if match_buckets is None:
+            match_buckets = tuple(b for b in self.backend._BATCH_BUCKETS
+                                  if b <= step)
         for b in match_buckets:
-            if b > lim:
-                continue          # live calls chunk to <= lim anyway
+            if b > step:
+                continue          # live calls chunk to <= step anyway
             best_effort(lambda b=b: self.backend._match_chain_batch(
                 [[0]] * b, 0, self.store.poses[0].copy()),
                 f"chain-match bucket {b}")
-        # 2. SPA solver at each (node, edge) shape bucket
+        # 2. SPA solver shape buckets. The live path buckets nodes and
+        #    edges INDEPENDENTLY (as_solver_data), and edges normally
+        #    outnumber vertices, so the common live shapes are
+        #    (bn, bn) and (bn, 2*bn) — warm both, and gate each dimension
+        #    on its own count (a node bucket is still reachable even after
+        #    edges outgrow it).
         poses = self.store.poses_array()
         g = self.backend.graph
-        for b in solver_buckets:
-            if b < g.num_vertices or b < len(g.edges):
-                continue          # bucket already outgrown
-            data = g.as_solver_data(poses, pad_n=b, pad_e=b)
-            best_effort(lambda d=data: jax.block_until_ready(
-                solve_pose_graph(d)), f"solver bucket {b}")
+        for bn in solver_buckets:
+            if bn < g.num_vertices:
+                continue          # node bucket already outgrown
+            for be in (bn, 2 * bn):
+                if be < len(g.edges):
+                    continue      # edge bucket already outgrown
+                data = g.as_solver_data(poses, pad_n=bn, pad_e=be)
+                best_effort(lambda d=data: jax.block_until_ready(
+                    solve_pose_graph(d)), f"solver bucket ({bn}, {be})")
         # 3. correction map rebuilds at each scan-count capacity bucket the
         #    trajectory may reach (shape-only dummy arrays: compiles key on
         #    shapes, and the device work per warm call — one rebuild from
