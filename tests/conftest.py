@@ -31,6 +31,9 @@ _SLOW = {
     "test_e2e_small.py::test_icra_end_to_end_with_optimize_matcher",
     "test_multiprocess.py::test_two_process_distributed",
     "test_engine_features.py::test_async_backend_pipeline",
+    "test_engine_features.py::test_async_stress_slow_corrections",
+    "test_engine_features.py::test_pub_growth_pad_and_post_match_safety",
+    "test_engine_features.py::test_correction_growth_covers_moved_scans",
     "test_engine_features.py::test_pub_map_grows_with_trajectory",
     "test_engine_features.py::test_checkpoint_roundtrip",
     "test_engine_features.py::test_windowed_running_range_match",
