@@ -145,6 +145,49 @@ class PoseGraph:
                 chains.append(chain)
         return chains
 
+    def _with_hypothetical_vertex(self, fn):
+        """Run ``fn()`` with the NEXT vertex (id = num_vertices) and its
+        odometry edge to the predecessor temporarily present."""
+        new_id = self.num_vertices
+        prev = new_id - 1
+        self.adjacency.append({prev})
+        self.adjacency[prev].add(new_id)
+        try:
+            return fn()
+        finally:
+            self.adjacency.pop()
+            self.adjacency[prev].discard(new_id)
+
+    def find_all_loop_candidates_for_new(self, barycenters_with_new:
+                                         np.ndarray) -> list[list[int]]:
+        """Loop-candidate discovery for the NEXT vertex (cf.
+        find_near_chains_for_new): TryCloseLoop's first-round chain set as
+        it will be discovered after this scan's UpdateGraph, from the
+        hypothetical barycenter row."""
+        new_id = self.num_vertices
+        if new_id == 0:
+            return []
+        return self._with_hypothetical_vertex(
+            lambda: self.find_all_loop_candidates(new_id,
+                                                  barycenters_with_new))
+
+    def find_near_chains_for_new(self, barycenters_with_new: np.ndarray
+                                 ) -> list[list[int]]:
+        """Chain discovery for the NEXT vertex (id = num_vertices) as it
+        *will* run inside UpdateGraph — vertex added and the odometry edge
+        to its predecessor present (range_scan_pose_graph.cpp:44-78) — but
+        WITHOUT mutating the committed graph. Used to pre-discover the
+        chain set before the frontend dispatch so the LinkNearChains match
+        can ride in the same device program; the caller re-runs the real
+        discovery afterwards and falls back if the sets differ.
+        ``barycenters_with_new``: (n+1, 3) — committed barycenters plus the
+        hypothetical new scan's row."""
+        new_id = self.num_vertices
+        if new_id == 0:
+            return []
+        return self._with_hypothetical_vertex(
+            lambda: self.find_near_chains(new_id, barycenters_with_new))
+
     @staticmethod
     def sparsify_chain(chain: list[int], limit: int = 10) -> list[int]:
         """Stride-2 sparsification to <= limit+1 ids

@@ -61,6 +61,57 @@ class BackendSpec:
         )
 
 
+@partial(jax.jit, static_argnames=("fspec", "bspec"),
+         donate_argnums=(2, 8, 9, 10, 11))
+def fused_frontend_chain_step(fspec, bspec: BackendSpec, state,
+                              points, mask, n_valid, last_odom, cur_odom,
+                              all_points, all_masks, all_n_valid, all_poses,
+                              chain_ids, store_slot):
+    """The front-end step, its LinkNearChains/TryCloseLoop-coarse
+    chain-match batch, AND the device-store append in ONE device dispatch.
+    The reference runs all of this inside one address space
+    (slam_processor.cpp:65-247 then :384-426 via the back-end thread); the
+    round-3 split paid three tunnel round-trips per kept scan. The chain
+    set is discovered on host from the ODOM-PREDICTED pose before the
+    dispatch (PoseGraph.find_near_chains_for_new /
+    find_all_loop_candidates_for_new); the matcher's init/center pose and
+    the feedback pub map are the MATCHED pose and post-update map from
+    this very program, so when the predicted chain set equals the real one
+    the results are exactly what the separate chain_match_batch_gather
+    dispatch would produce (the engine verifies and falls back otherwise).
+
+    The store buffers are DONATED and returned with this scan written at
+    ``store_slot`` (their current append cursor): the write is
+    unconditional — if the gate rejects the scan the host simply does not
+    advance the cursor, so the slot is dead until the next accepted scan
+    overwrites it. Chain gathers only read ids < store_slot, so the append
+    never feeds back into this dispatch."""
+    from ..frontend.processor import frontend_step
+
+    state, info = frontend_step(fspec, state, points, mask, n_valid,
+                                last_odom, cur_odom)
+    ids = jnp.maximum(chain_ids, 0)
+    valid = chain_ids >= 0                              # (B, K)
+    cp = all_points[ids]
+    cm = all_masks[ids] & valid[..., None]
+    cpo = all_poses[ids]
+    out = jax.vmap(
+        lambda p_, m_, po_, v_: chain_match(
+            bspec, p_, m_, po_, v_, points, mask, n_valid,
+            info.pose, info.pose,
+            state.pub.hits, state.pub.passes, state.pub.offset)
+    )(cp, cm, cpo, valid)
+    new_store = (
+        jax.lax.dynamic_update_index_in_dim(all_points, points,
+                                            store_slot, 0),
+        jax.lax.dynamic_update_index_in_dim(all_masks, mask, store_slot, 0),
+        all_n_valid.at[store_slot].set(n_valid),
+        jax.lax.dynamic_update_index_in_dim(all_poses, info.pose,
+                                            store_slot, 0),
+    )
+    return state, info, out, new_store
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def chain_match_batch_gather(spec: BackendSpec,
                              all_points, all_masks, all_n_valid, all_poses,
@@ -153,6 +204,11 @@ class Backend:
         self.on_corrections: Callable | None = None   # set by engine
         self.num_loop_closures = 0
         self.num_links = 0
+        # dispatch accounting (BASELINE_MEASURED dispatch-count table)
+        self.num_chain_dispatches = 0     # separate chain-match dispatches
+        self.num_solves = 0               # SPA solve dispatches
+        self.num_fused_hits = 0           # fused chain results accepted
+        self.num_fused_misses = 0         # predicted chain set diverged
         # bucket -> compiler-measured peak bytes (calibrate_chain_batch)
         self._measured_mem: dict[int, float] = {}
 
@@ -297,6 +353,7 @@ class Backend:
         ids = np.full((bucket, K), -1, np.int32)
         for b, chain in enumerate(chain_id_lists):
             ids[b, :min(len(chain), K)] = chain[:K]
+        self.num_chain_dispatches += 1
         all_pts, all_msk, all_nv, all_poses, _cap = st.device_arrays()
         # ONE atomic snapshot tuple: (pub_spec, hits, passes, offset). The
         # pub map can grow mid-run (engine._grow_pub_to); pairing arrays
@@ -322,13 +379,19 @@ class Backend:
 
     # ---- graph construction (UpdateGraph, range_scan_pose_graph.cpp:44-78) ----
 
-    def update_graph(self, scan_id: int, covariance: np.ndarray):
+    def update_graph(self, scan_id: int, covariance: np.ndarray,
+                     prematched=None):
+        """``prematched``: optional ``(chains, results)`` from the fused
+        frontend dispatch — the chain set discovered from the PREDICTED
+        pose and its match results. Used instead of a separate dispatch iff
+        the real (matched-pose) discovery returns the identical chain set.
+        """
         vid = self.graph.add_vertex()
         assert vid == scan_id, (vid, scan_id)
         if scan_id > 0:
             self._link_scans(scan_id - 1, scan_id,
                              self.store.poses[scan_id], covariance)
-            self._link_near_chains(scan_id)
+            self._link_near_chains(scan_id, prematched=prematched)
 
     def _link_scans(self, source: int, target: int, mean: np.ndarray,
                     covariance: np.ndarray):
@@ -338,19 +401,26 @@ class Backend:
                                mean, covariance):
             self.num_links += 1
 
-    def _link_near_chains(self, scan_id: int):
+    def _link_near_chains(self, scan_id: int, prematched=None):
         """LinkNearChains (range_scan_pose_graph.cpp:120-167); all eligible
         chains are matched in one batched dispatch (vmap; shardable across
-        the data mesh axis for pod runs)."""
+        the data mesh axis for pod runs) — or consumed from the fused
+        frontend dispatch when the predicted chain set held."""
         cfg = self.spec.config
         bary = self.store.barycenters()
         chains = [c for c in self.graph.find_near_chains(scan_id, bary)
                   if len(c) >= cfg.loop_match_min_chain_size]
         if not chains:
             return
-        init = self.store.poses[scan_id].copy()
-        results = self._match_chain_batch(
-            [PoseGraph.sparsify_chain(c) for c in chains], scan_id, init)
+        if prematched is not None and prematched[0] == chains:
+            results = prematched[1]
+            self.num_fused_hits += 1
+        else:
+            if prematched is not None:
+                self.num_fused_misses += 1
+            init = self.store.poses[scan_id].copy()
+            results = self._match_chain_batch(
+                [PoseGraph.sparsify_chain(c) for c in chains], scan_id, init)
         for chain, (pose, response, cov) in zip(chains, results):
             if not np.all(np.isfinite(cov)):
                 continue
@@ -369,7 +439,7 @@ class Backend:
 
     # ---- loop closure (TryCloseLoop, range_scan_pose_graph.cpp:299-355) ----
 
-    def try_close_loop(self, scan_id: int) -> bool:
+    def try_close_loop(self, scan_id: int, prematched=None) -> bool:
         """TryCloseLoop with batched verification: ALL candidate chains are
         coarse-matched in one device dispatch (the reference — and round 1 —
         matched them one at a time, range_scan_pose_graph.cpp:299-355), the
@@ -385,8 +455,16 @@ class Backend:
             chains = self.graph.find_all_loop_candidates(scan_id, bary)
             if not chains:
                 break
-            init = self.store.poses[scan_id].copy()
-            coarse = self._match_chain_batch(chains, scan_id, init)
+            if (_round == 0 and prematched is not None
+                    and prematched[0] == chains):
+                # the coarse verification rode the fused frontend dispatch
+                coarse = prematched[1]
+                self.num_fused_hits += 1
+            else:
+                if _round == 0 and prematched is not None:
+                    self.num_fused_misses += 1
+                init = self.store.poses[scan_id].copy()
+                coarse = self._match_chain_batch(chains, scan_id, init)
             passing = [
                 (chain, pose) for chain, (pose, resp, cov) in zip(chains, coarse)
                 if (resp > cfg.loop_match_min_response_coarse
@@ -423,6 +501,7 @@ class Backend:
             self._solve_and_correct()
 
     def _solve_and_correct(self):
+        self.num_solves += 1
         data = self.graph.as_solver_data(self.store.poses_array())
         poses, cost, iters = solve_pose_graph(data)
         corrected = np.asarray(poses, np.float64)[: self.graph.num_vertices]

@@ -265,20 +265,36 @@ class ScanStore:
 
     _DEV_BUCKET_START = 256
 
-    def device_arrays(self):
+    def device_arrays(self, reserve: int = 0):
+        """``reserve``: extra slots the caller will write in-program (the
+        fused step's donated append) — forces capacity growth BEFORE the
+        buffers are handed out, so the in-program write never lands past
+        the end (dynamic_update clamps silently)."""
         with self._lock:
-            return self._device_arrays_locked()
+            return self._device_arrays_locked(reserve)
 
-    def _device_arrays_locked(self):
+    def absorb_fused_append(self, points, masks, n_valid, poses,
+                            accepted: bool):
+        """Install the store buffers returned by the fused step (the old
+        ones were DONATED to it and are dead either way); advance the
+        append cursor only if the scan was accepted — a rejected scan's
+        slot write is simply left dead."""
+        with self._lock:
+            self._dev = dict(points=points, masks=masks, n_valid=n_valid)
+            self._dev_poses = poses
+            if accepted:
+                self._dev_count += 1
+
+    def _device_arrays_locked(self, reserve: int = 0):
         """Device-resident (cap, ...) scan buffers, appended incrementally:
         ``(points, masks, n_valid, poses_f32, cap)``. Capacity doubles in
         buckets (one full re-upload + retrace per doubling); per-scan cost
         is one small in-place append dispatch. Poses re-upload whole (tiny)
         only after ``set_pose`` invalidated them."""
         n = len(self)
-        if self._dev is None or n > self._dev_cap:
+        if self._dev is None or n + reserve > self._dev_cap:
             cap = self._DEV_BUCKET_START
-            while cap < n:
+            while cap < n + reserve:
                 cap *= 2
             pts = np.zeros((cap, self.max_points, 2), np.float32)
             msk = np.zeros((cap, self.max_points), bool)
@@ -322,6 +338,8 @@ class EngineDiagnostics:
     scans_dropped_move: int = 0
     loop_closures: int = 0
     pub_clip_rebuilds: int = 0     # post-match growth events (_ensure_pub_covers)
+    fused_steps: int = 0           # frontend dispatches that carried the
+                                   # LinkNearChains chain match (1 dispatch)
     match_time_s: float = 0.0
     backend_time_s: float = 0.0
 
@@ -331,7 +349,8 @@ class SlamEngine:
 
     def __init__(self, config: SlamConfig, laser: LaserModel,
                  world_size: float | None = None,
-                 synchronous_backend: bool = True):
+                 synchronous_backend: bool = True,
+                 fused_backend: bool = True):
         self.config = config
         self.laser = laser
         # requested world extent (pre-rounding) — checkpoints restore with
@@ -350,6 +369,9 @@ class SlamEngine:
         self.backend = Backend(self.bspec, self.store)
         self.backend.on_corrections = self._apply_corrections
         self.synchronous_backend = synchronous_backend
+        # fuse the LinkNearChains chain match into the frontend dispatch
+        # (sync mode only: the async pipeline overlaps the two instead)
+        self._fused_backend = fused_backend and synchronous_backend
         self.diag = EngineDiagnostics()
         self.timers = StageTimers()
         self._bounds_warned = False
@@ -368,7 +390,7 @@ class SlamEngine:
             self._step_windowed = jax.jit(
                 frontend_step_windowed, static_argnames=("spec",),
                 donate_argnums=donate)
-        self._pending_backend: list[tuple[int, np.ndarray]] = []
+        self._pending_backend: list[tuple] = []   # (scan_id, cov, prematched)
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
@@ -467,10 +489,17 @@ class SlamEngine:
         # the search window (< the 0.5 m bbox pad) of the matched pose
         self._maybe_grow_pub(self._predict_pose_host(np.asarray(odom)),
                              np_points, np_mask)
+        fused_in = None
+        if (self._fused_backend
+                and not self.config.use_running_range_scan_match
+                and len(self.store) > 0):
+            fused_in = self._prepare_fused(np_points, np_mask,
+                                           np.asarray(odom))
         points, mask = jnp.asarray(points), jnp.asarray(mask)
         last_odom = (self._last_kept_odom if self._last_kept_odom is not None
                      else odom)
 
+        chain_out = None
         t0 = _time.perf_counter()
         with self._state_lock, self.timers.stage("frontend_step"):
             if (self.config.use_running_range_scan_match
@@ -483,12 +512,31 @@ class SlamEngine:
                     self.fspec, self.state, *win, points, mask,
                     jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                     jnp.asarray(odom, jnp.float32))
+            elif fused_in is not None:
+                from .backend.processor import fused_frontend_chain_step
+
+                all_pts, all_msk, all_nv, all_poses, _cap = \
+                    self.store.device_arrays(reserve=1)
+                slot = self.store._dev_count
+                self.state, info, chain_out, new_store = \
+                    fused_frontend_chain_step(
+                        self.fspec, self.bspec, self.state, points, mask,
+                        jnp.int32(n_valid),
+                        jnp.asarray(last_odom, jnp.float32),
+                        jnp.asarray(odom, jnp.float32),
+                        all_pts, all_msk, all_nv, all_poses,
+                        fused_in["ids"], jnp.int32(slot))
+                self.diag.fused_steps += 1
             else:
                 self.state, info = self._step(
                     self.fspec, self.state, points, mask,
                     jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                     jnp.asarray(odom, jnp.float32))
         accepted = bool(info.map_updated)   # forces the dispatch to complete
+        if chain_out is not None:
+            # the fused dispatch consumed (donated) the store buffers;
+            # install the returned ones whether or not the scan was kept
+            self.store.absorb_fused_append(*new_store, accepted=accepted)
         pose = np.asarray(info.pose, np.float64)
         self.diag.match_time_s += _time.perf_counter() - t0
 
@@ -510,13 +558,71 @@ class SlamEngine:
         self._ensure_pub_covers(pose, np_points, np_mask)
 
         cov = np.asarray(info.cov, np.float64)
+        prematched = None
+        if chain_out is not None:
+            # one host fetch for all fused chain results (same contract as
+            # _match_chain_batch_one's single device_get)
+            bpose, bscore, bcov = jax.device_get(chain_out)
+            rows = [(bpose[i].astype(np.float64), float(bscore[i]),
+                     bcov[i].astype(np.float64))
+                    for i in range(len(fused_in["near"])
+                                   + len(fused_in["loop"]))]
+            nn = len(fused_in["near"])
+            prematched = {
+                "near": ((fused_in["near"], rows[:nn])
+                         if fused_in["near"] else None),
+                "loop": ((fused_in["loop"], rows[nn:])
+                         if fused_in["loop"] else None),
+            }
         if self.synchronous_backend:
-            self._pending_backend.append((scan_id, cov))
+            self._pending_backend.append((scan_id, cov, prematched))
             self.process_backend()
         else:
             self._ensure_backend_thread()
-            self._backend_queue.put((scan_id, cov))
+            self._backend_queue.put((scan_id, cov, None))
         return True
+
+    def _prepare_fused(self, np_points: np.ndarray, np_mask: np.ndarray,
+                       odom: np.ndarray):
+        """Pre-discover the chain sets this scan's back-end pass will match
+        — LinkNearChains' near chains AND TryCloseLoop's first-round loop
+        candidates (both use the matched pose as init/center, so their
+        coarse matches are the SAME program) — from the odom-predicted pose
+        + this scan's centroid, so every one of them rides the frontend
+        dispatch (fused_frontend_chain_step). Returns
+        ``{"near": chains, "loop": chains, "ids": (B, K) id matrix}`` or
+        None when fusion does not apply (no eligible chains, or more than
+        one dispatch may hold)."""
+        cfg = self.config
+        pred = self._predict_pose_host(odom)
+        w = np_mask.astype(np.float64)
+        denom = max(w.sum(), 1.0)
+        cent = (np_points.astype(np.float64) * w[:, None]).sum(0) / denom
+        c, s = np.cos(pred[2]), np.sin(pred[2])
+        newbary = np.array([pred[0] + c * cent[0] - s * cent[1],
+                            pred[1] + s * cent[0] + c * cent[1], pred[2]])
+        bary = np.concatenate([self.store.barycenters(), newbary[None]])
+        graph = self.backend.graph
+        near = [ch for ch in graph.find_near_chains_for_new(bary)
+                if len(ch) >= cfg.loop_match_min_chain_size]
+        loop = graph.find_all_loop_candidates_for_new(bary)
+        lim = self.backend.max_parallel_chains()
+        step = max((b for b in self.backend._BATCH_BUCKETS if b <= lim),
+                   default=1)
+        if len(near) + len(loop) > step:
+            loop = []         # loop rows are opportunistic; drop them first
+        if len(near) > step or not (near or loop):
+            return None       # would need chunking: keep the separate path
+        from .backend.pose_graph import PoseGraph
+
+        K = self.bspec.max_chain_scans
+        rows = [PoseGraph.sparsify_chain(ch) for ch in near] + loop
+        bucket = next(b for b in self.backend._BATCH_BUCKETS
+                      if b >= len(rows))
+        ids = np.full((bucket, K), -1, np.int32)
+        for b, chain in enumerate(rows):
+            ids[b, :min(len(chain), K)] = chain[:K]
+        return {"near": near, "loop": loop, "ids": jnp.asarray(ids)}
 
     def process_backend(self):
         """Drain the back-end buffer (BackEndProcessThread,
@@ -526,12 +632,17 @@ class SlamEngine:
             return
         t0 = _time.perf_counter()
         last_id = self._pending_backend[-1][0]
+        last_pre = None
         with self.timers.stage("backend_update"):
             while self._pending_backend:
-                sid, cov = self._pending_backend.pop(0)
-                self.backend.update_graph(sid, cov)
+                sid, cov, pre = self._pending_backend.pop(0)
+                self.backend.update_graph(
+                    sid, cov, prematched=(pre or {}).get("near"))
+                if sid == last_id:
+                    last_pre = pre
         with self.timers.stage("backend_loop_closure"):
-            self.backend.try_close_loop(last_id)
+            self.backend.try_close_loop(
+                last_id, prematched=(last_pre or {}).get("loop"))
         self.diag.loop_closures = self.backend.num_loop_closures
         self.diag.backend_time_s += _time.perf_counter() - t0
 
@@ -818,7 +929,7 @@ class SlamEngine:
                 stop = False
             t0 = _time.perf_counter()
             with self.timers.stage("backend_update"):
-                for sid, cov in batch:
+                for sid, cov, _pre in batch:
                     self.backend.update_graph(sid, cov)
             if batch:
                 with self.timers.stage("backend_loop_closure"):

@@ -148,6 +148,130 @@ def read_bag_messages(path: str):
             yield topic, mtype, data
 
 
+def _header_blob(fields: dict) -> bytes:
+    out = b""
+    for k, v in fields.items():
+        f = k.encode() + b"=" + v
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def _record(fields: dict, data: bytes) -> bytes:
+    hdr = _header_blob(fields)
+    return (struct.pack("<I", len(hdr)) + hdr
+            + struct.pack("<I", len(data)) + data)
+
+
+def _time_bytes(t: float) -> bytes:
+    secs = int(t)
+    return struct.pack("<II", secs, int(round((t - secs) * 1e9)))
+
+
+def _ser_laserscan(seq: int, t: float, frame: str, laser: LaserModel,
+                   ranges: np.ndarray) -> bytes:
+    inc = ((laser.angle_max - laser.angle_min) / (laser.num_beams - 1)
+           if laser.num_beams > 1 else 0.0)
+    f = frame.encode()
+    n = len(ranges)
+    return (struct.pack("<I", seq) + _time_bytes(t)
+            + struct.pack("<I", len(f)) + f
+            + struct.pack("<7f", laser.angle_min, laser.angle_max, inc,
+                          (laser.scan_time / max(n, 1)), laser.scan_time,
+                          laser.range_min, laser.range_max)
+            + struct.pack("<I", n) + np.asarray(ranges, "<f4").tobytes()
+            + struct.pack("<I", 0))                       # no intensities
+
+
+def _ser_odometry(seq: int, t: float, frame: str, child: str,
+                  pose: np.ndarray) -> bytes:
+    f, c = frame.encode(), child.encode()
+    qz, qw = np.sin(pose[2] / 2.0), np.cos(pose[2] / 2.0)
+    cov = np.zeros(36, "<f8").tobytes()
+    return (struct.pack("<I", seq) + _time_bytes(t)
+            + struct.pack("<I", len(f)) + f
+            + struct.pack("<I", len(c)) + c
+            + struct.pack("<7d", pose[0], pose[1], 0.0, 0.0, 0.0, qz, qw)
+            + cov
+            + struct.pack("<6d", 0, 0, 0, 0, 0, 0) + cov)  # twist + cov
+
+
+_SCAN_CONN_HDR = {
+    "topic": None,                  # filled per call
+    "type": b"sensor_msgs/LaserScan",
+    # MD5 of the released message definition (fixed public constant)
+    "md5sum": b"90c7ef2dc6895d81024acba2ac42f369",
+    "message_definition": b"",
+}
+_ODOM_CONN_HDR = {
+    "topic": None,
+    "type": b"nav_msgs/Odometry",
+    "md5sum": b"cd5e73d190d741a2f92e81eda573aca7",
+    "message_definition": b"",
+}
+
+
+def write_bag(path: str, log: ScanLog, scan_topic: str = "/scan",
+              odom_topic: str = "/odom", frame: str = "laser",
+              compression: str = "bz2", chunk_msgs: int = 128) -> None:
+    """Write a ScanLog as a rosbag v2.0 file — the same container subset
+    the reader parses (record framing, connection records, chunked storage
+    with none/bz2 compression, LaserScan + Odometry wire layouts), so the
+    real-sensor replay path (launch/roborts_slam_realworld_hokuyo_bag.launch)
+    can be exercised end-to-end without ROS: simulate → write_bag →
+    bag_to_scan_log → engine."""
+    chunks: list[bytes] = []
+    msgs: list[bytes] = []
+    conn_scan = _record(dict(op=b"\x07", conn=(0).to_bytes(4, "little"),
+                             topic=scan_topic.encode()),
+                        _header_blob({**_SCAN_CONN_HDR,
+                                      "topic": scan_topic.encode()}))
+    conn_odom = _record(dict(op=b"\x07", conn=(1).to_bytes(4, "little"),
+                             topic=odom_topic.encode()),
+                        _header_blob({**_ODOM_CONN_HDR,
+                                      "topic": odom_topic.encode()}))
+
+    def flush():
+        if not msgs:
+            return
+        payload = conn_scan + conn_odom + b"".join(msgs)
+        comp = compression
+        data = bz2.compress(payload) if comp == "bz2" else payload
+        chunks.append(_record(
+            dict(op=b"\x05", compression=comp.encode(),
+                 size=struct.pack("<I", len(payload))), data))
+        msgs.clear()
+
+    for i in range(len(log)):
+        t = float(log.times[i])
+        msgs.append(_record(
+            dict(op=b"\x02", conn=(1).to_bytes(4, "little"),
+                 time=_time_bytes(t)),
+            _ser_odometry(i, t, "odom", "base_link", log.odom[i])))
+        msgs.append(_record(
+            dict(op=b"\x02", conn=(0).to_bytes(4, "little"),
+                 time=_time_bytes(t)),
+            _ser_laserscan(i, t, frame, log.laser, log.ranges[i])))
+        if len(msgs) >= 2 * chunk_msgs:
+            flush()
+    flush()
+
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        # bag header record, padded to 4096 bytes with an 'x' field per the
+        # container spec; index/chunk-info records are not needed by the
+        # reader subset and are omitted
+        hdr = dict(op=b"\x03", index_pos=(0).to_bytes(8, "little"),
+                   conn_count=(2).to_bytes(4, "little"),
+                   chunk_count=len(chunks).to_bytes(4, "little"))
+        blob = _header_blob(hdr)
+        pad = max(0, 4096 - len(blob) - 8)
+        rec = (struct.pack("<I", len(blob)) + blob
+               + struct.pack("<I", pad) + b" " * pad)
+        f.write(rec)
+        for ch in chunks:
+            f.write(ch)
+
+
 def bag_to_scan_log(path: str, scan_topic: str | None = None,
                     odom_topic: str | None = None,
                     range_threshold_scale: float = 0.95) -> ScanLog:

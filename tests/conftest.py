@@ -32,6 +32,7 @@ _SLOW = {
     "test_multiprocess.py::test_two_process_distributed",
     "test_engine_features.py::test_async_backend_pipeline",
     "test_engine_features.py::test_async_stress_slow_corrections",
+    "test_engine_features.py::test_fused_backend_matches_unfused",
     "test_engine_features.py::test_pub_growth_pad_and_post_match_safety",
     "test_engine_features.py::test_correction_growth_covers_moved_scans",
     "test_engine_features.py::test_pub_map_grows_with_trajectory",

@@ -460,3 +460,40 @@ def test_async_stress_slow_corrections(icra_log):
         eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
     eng.finish()
     assert np.isfinite(eng.trajectory_array()).all()
+
+
+def test_fused_backend_matches_unfused(icra_log):
+    """The fused dispatch (frontend step + LinkNearChains/TryCloseLoop
+    coarse chain matches + donated store append in ONE program,
+    backend/processor.fused_frontend_chain_step) must reproduce the
+    separate-dispatch path: same kept set, same graph, same trajectory —
+    and the device store mirror must survive donated appends across
+    capacity growth."""
+    cfg = _small_config()
+    log = icra_log
+    n_feed = min(len(log), 160)
+    runs = {}
+    for fused in (False, True):
+        eng = SlamEngine(cfg, log.laser, synchronous_backend=True,
+                         fused_backend=fused)
+        eng.store._DEV_BUCKET_START = 16   # force growth under donation
+        for i in range(n_feed):
+            eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+        eng.finish()
+        runs[fused] = eng
+    e0, e1 = runs[False], runs[True]
+    assert e1.diag.fused_steps > 0 and e1.backend.num_fused_hits > 0
+    assert e1.backend.num_chain_dispatches < e0.backend.num_chain_dispatches
+    assert len(e0.store) == len(e1.store)
+    assert (e0.backend.num_links, e0.backend.num_loop_closures) == \
+        (e1.backend.num_links, e1.backend.num_loop_closures)
+    np.testing.assert_allclose(e1.trajectory_array(), e0.trajectory_array(),
+                               atol=1e-5)
+    n = len(e1.store)
+    pts, msk, nv, poses, _cap = e1.store.device_arrays()
+    np.testing.assert_array_equal(np.asarray(pts[:n]),
+                                  np.stack(e1.store._points))
+    np.testing.assert_array_equal(np.asarray(nv[:n]), e1.store._n_valid)
+    np.testing.assert_allclose(np.asarray(poses[:n]),
+                               e1.store.poses_array().astype(np.float32),
+                               atol=0)
