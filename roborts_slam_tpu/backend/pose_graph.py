@@ -23,7 +23,20 @@ import dataclasses
 
 import numpy as np
 
-from ..utils.geometry import pose_relative
+
+def _pose_relative_host(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Relative pose of b in a's frame (a^-1 (+) b) — pure NumPy float64.
+
+    Same construction as utils.geometry.pose_relative (the reference's
+    TransformByMidFrame, pose_graph.h:88-107), but host-side: graph edges
+    are built on the host per accepted scan, and routing three-element pose
+    algebra through jnp dispatches a device program + fetch per edge
+    (~60 ms/edge through the tunnel — measured round 4)."""
+    ca, sa = np.cos(a[2]), np.sin(a[2])
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    th = b[2] - a[2]
+    return np.array([ca * dx + sa * dy, -sa * dx + ca * dy,
+                     np.arctan2(np.sin(th), np.cos(th))])
 
 
 @dataclasses.dataclass
@@ -66,8 +79,8 @@ class PoseGraph:
         key = (min(source, target), max(source, target))
         if key in self._edge_set:
             return False
-        rel = np.asarray(pose_relative(np.asarray(source_pose, np.float64),
-                                       np.asarray(target_pose, np.float64)))
+        rel = _pose_relative_host(np.asarray(source_pose, np.float64),
+                                  np.asarray(target_pose, np.float64))
         th = float(source_pose[2])
         c, s = np.cos(-th), np.sin(-th)
         rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])

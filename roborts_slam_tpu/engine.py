@@ -44,6 +44,65 @@ def _store_append_impl(buf_pts, buf_msk, buf_nv, buf_poses,
 _store_append = jax.jit(_store_append_impl, donate_argnums=(0, 1, 2, 3))
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("pub_spec", "coarse_spec", "fine_spec",
+                                    "first_scan_extra", "coarse_blur",
+                                    "fine_blur"))
+def _rebuild_all_maps(pub_spec, coarse_spec, fine_spec,
+                      pub_off, coarse_off, fine_off,
+                      pts, msk, poses, valid, free_f, occu_f,
+                      first_scan_extra: int, coarse_blur: bool,
+                      fine_blur: bool):
+    """The full CorrectPoseAndMap rebuild (pub + coarse + fine,
+    slam_processor.cpp:350-366) as ONE jitted program. Called eagerly these
+    stamps execute op-by-op — measured round 4: ~183 relay compiles of
+    ~0.5 s each (all below the persistent-cache threshold) turned the first
+    loop closure of every process into a 80-100 s stall."""
+    pub = rebuild_count_map(pub_spec, pub_off, pts, msk, poses, valid,
+                            free_f, occu_f, first_scan_extra=first_scan_extra)
+    coarse = stamp_scan_batch(
+        coarse_spec,
+        ProbMap(jnp.full((coarse_spec.height, coarse_spec.width),
+                         coarse_spec.default_prob, jnp.float32),
+                jnp.asarray(coarse_off, jnp.float32)),
+        pts, msk, poses, valid, use_blur=coarse_blur)
+    fine = stamp_scan_batch(
+        fine_spec,
+        ProbMap(jnp.full((fine_spec.height, fine_spec.width),
+                         fine_spec.default_prob, jnp.float32),
+                jnp.asarray(fine_off, jnp.float32)),
+        pts, msk, poses, valid, use_blur=fine_blur)
+    return pub, coarse, fine
+
+
+_rebuild_pub_jit = jax.jit(rebuild_count_map,
+                           static_argnames=("spec", "first_scan_extra"))
+
+
+@_partial(jax.jit, static_argnames=("coarse_spec", "fine_spec",
+                                    "coarse_blur", "fine_blur"))
+def _stamp_match_maps(coarse_spec, fine_spec, coarse_off, fine_off,
+                      pts, msk, poses, valid, coarse_blur: bool,
+                      fine_blur: bool):
+    """Fresh coarse+fine match maps stamped from a scan batch in one
+    program (the rolling-window recenter path)."""
+    coarse = stamp_scan_batch(
+        coarse_spec,
+        ProbMap(jnp.full((coarse_spec.height, coarse_spec.width),
+                         coarse_spec.default_prob, jnp.float32),
+                jnp.asarray(coarse_off, jnp.float32)),
+        pts, msk, poses, valid, use_blur=coarse_blur)
+    fine = stamp_scan_batch(
+        fine_spec,
+        ProbMap(jnp.full((fine_spec.height, fine_spec.width),
+                         fine_spec.default_prob, jnp.float32),
+                jnp.asarray(fine_off, jnp.float32)),
+        pts, msk, poses, valid, use_blur=fine_blur)
+    return coarse, fine
+
+
 class ScanStore:
     """Append-only store of accepted scans (SensorDataManager,
     src/slam/sensor_data_manager.h:349-595). One copy per scan in sensor-local
@@ -362,6 +421,20 @@ class SlamEngine:
         self.bspec = BackendSpec.from_config(config, laser.range_max,
                                              self.fspec.pub_spec)
         self.state: FrontendState = init_frontend_state(self.fspec)
+        # host mirror of the tiny, rarely-changing bits of device state
+        # (current pose + map offsets). Through the dispatch tunnel every
+        # np.asarray(device_array) is its own ~20 ms round-trip (measured
+        # round 4: 253 fetches over 23 scans = the sustained-rate floor);
+        # the per-scan geometry checks read these instead. Updated at the
+        # single post-step fetch, on growth/recenter, on corrections, and
+        # on checkpoint restore.
+        self._host_pose = np.zeros(3)
+        offs = jax.device_get((self.state.fine.offset,
+                               self.state.coarse.offset,
+                               self.state.pub.offset))
+        self._host_fine_off = np.asarray(offs[0], np.float64)
+        self._host_coarse_off = np.asarray(offs[1], np.float64)
+        self._host_pub_off = np.asarray(offs[2], np.float64)
         self.store = ScanStore(
             config.max_points,
             running_range_max_scans=config.running_range_size,
@@ -532,12 +605,20 @@ class SlamEngine:
                     self.fspec, self.state, points, mask,
                     jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                     jnp.asarray(odom, jnp.float32))
-        accepted = bool(info.map_updated)   # forces the dispatch to complete
+        # ONE bundled fetch for everything the host needs from the step
+        # (each separate np.asarray(device_array) is its own tunnel
+        # round-trip; round 3 paid three here)
+        pose_f, acc_f, cov_f = jax.device_get(
+            (info.pose, info.map_updated, info.cov))
+        accepted = bool(acc_f)
         if chain_out is not None:
             # the fused dispatch consumed (donated) the store buffers;
             # install the returned ones whether or not the scan was kept
             self.store.absorb_fused_append(*new_store, accepted=accepted)
-        pose = np.asarray(info.pose, np.float64)
+        pose = np.asarray(pose_f, np.float64)
+        # info.pose IS the new state.pose (frontend_step stores the same
+        # gated value in both), so the mirror updates unconditionally
+        self._host_pose = pose.copy()
         self.diag.match_time_s += _time.perf_counter() - t0
 
         if not accepted:
@@ -557,7 +638,7 @@ class SlamEngine:
                                   self.state.pub.offset)
         self._ensure_pub_covers(pose, np_points, np_mask)
 
-        cov = np.asarray(info.cov, np.float64)
+        cov = np.asarray(cov_f, np.float64)
         prematched = None
         if chain_out is not None:
             # one host fetch for all fused chain results (same contract as
@@ -654,7 +735,7 @@ class SlamEngine:
         map itself grows on demand (_maybe_grow_pub)."""
         if self._bounds_warned:
             return
-        off = np.asarray(self.state.fine.offset)
+        off = self._host_fine_off
         res = self.fspec.fine_spec.resolution
         extent = np.array([self.fspec.fine_spec.width,
                            self.fspec.fine_spec.height]) * res
@@ -677,8 +758,9 @@ class SlamEngine:
 
     def _predict_pose_host(self, odom: np.ndarray) -> np.ndarray:
         """Host-side copy of predict_pose_by_odom (slam_processor.cpp:618-634)
-        for pre-dispatch geometry checks."""
-        pose = np.asarray(self.state.pose, np.float64)
+        for pre-dispatch geometry checks — reads the host pose mirror
+        (fetching state.pose here cost one tunnel round-trip per scan)."""
+        pose = self._host_pose.copy()
         if not self.config.use_odometry or self._last_kept_odom is None:
             return pose
         lo = self._last_kept_odom
@@ -714,7 +796,7 @@ class SlamEngine:
         hold the state lock unless they pass ``_locked=True``."""
         spec = self.fspec.pub_spec
         res = spec.resolution
-        off = np.asarray(self.state.pub.offset, np.float64)
+        off = self._host_pub_off
         extent = np.array([spec.width, spec.height]) * res      # (x, y) m
         need_lo = np.maximum(0.0, -(np.asarray(bmin) + off))    # m past low edge
         need_hi = np.maximum(0.0, (np.asarray(bmax) + off) - extent)
@@ -776,7 +858,7 @@ class SlamEngine:
         idempotent). Rare by construction; counted in diag."""
         bmin, bmax = self._scan_world_bbox(pose, points, mask)
         spec = self.fspec.pub_spec
-        off = np.asarray(self.state.pub.offset, np.float64)
+        off = self._host_pub_off
         extent = np.array([spec.width, spec.height]) * spec.resolution
         if ((bmin + off >= 0).all() and (bmax + off <= extent).all()):
             return
@@ -791,7 +873,7 @@ class SlamEngine:
         Callers hold the state lock."""
         cfg = self.config
         pts, msk, poses, valid = self.store.all_arrays()
-        pub = rebuild_count_map(
+        pub = _rebuild_pub_jit(
             self.fspec.pub_spec, self.state.pub.offset, pts, msk, poses,
             valid, jnp.float32(cfg.map_update_free_factor),
             jnp.float32(cfg.map_update_occu_factor),
@@ -816,8 +898,9 @@ class SlamEngine:
              shift_x_cells:shift_x_cells + W] = old_hits
         passes[shift_y_cells:shift_y_cells + H,
                shift_x_cells:shift_x_cells + W] = old_passes
-        new_off = (np.asarray(self.state.pub.offset, np.float64)
+        new_off = (self._host_pub_off
                    + np.array([shift_x_cells, shift_y_cells]) * spec.resolution)
+        self._host_pub_off = new_off
         from .models.grid_map import _round_up
 
         # a small initial world can cap the Pallas carve window at the map
@@ -862,7 +945,7 @@ class SlamEngine:
         global extent (it is the published product)."""
         fs = self.fspec.fine_spec
         extent = np.array([fs.width, fs.height]) * fs.resolution
-        off = np.asarray(self.state.fine.offset)
+        off = self._host_fine_off
         center_w = extent * 0.5 - off
         delta = np.asarray(pose[:2]) - center_w
         window = min(float(extent[0]), float(extent[1]))
@@ -872,8 +955,8 @@ class SlamEngine:
         shift_m = np.round(delta / g) * g                    # (dx, dy) meters
         with self._state_lock:
             self._rebuild_match_maps_at(
-                np.asarray(self.state.fine.offset) - shift_m,
-                np.asarray(self.state.coarse.offset) - shift_m)
+                self._host_fine_off - shift_m,
+                self._host_coarse_off - shift_m)
 
     def _rebuild_match_maps_at(self, fine_off: np.ndarray,
                                coarse_off: np.ndarray):
@@ -882,6 +965,8 @@ class SlamEngine:
         sizes bound recompilation). Callers hold the state lock."""
         cfg = self.config
         fs, cs = self.fspec.fine_spec, self.fspec.coarse_spec
+        self._host_fine_off = np.asarray(fine_off, np.float64)
+        self._host_coarse_off = np.asarray(coarse_off, np.float64)
         extent = np.array([fs.width, fs.height]) * fs.resolution
         center_new = extent * 0.5 - fine_off
         reach = 0.5 * float(extent.max()) + self.laser.range_threshold
@@ -894,16 +979,10 @@ class SlamEngine:
         bucket = next((b for b in self._REBUILD_BUCKETS if b >= len(ids)),
                       max(len(ids), 1))
         pts, msk, sposes, valid = self.store.gather_chain(ids, bucket)
-        fine = stamp_scan_batch(
-            fs, ProbMap(jnp.full((fs.height, fs.width), fs.default_prob,
-                                 jnp.float32),
-                        jnp.asarray(fine_off, jnp.float32)),
-            pts, msk, sposes, valid, use_blur=cfg.fine_map_use_blur)
-        coarse = stamp_scan_batch(
-            cs, ProbMap(jnp.full((cs.height, cs.width), cs.default_prob,
-                                 jnp.float32),
-                        jnp.asarray(coarse_off, jnp.float32)),
-            pts, msk, sposes, valid, use_blur=cfg.coarse_map_use_blur)
+        coarse, fine = _stamp_match_maps(
+            cs, fs, jnp.asarray(coarse_off, jnp.float32),
+            jnp.asarray(fine_off, jnp.float32), pts, msk, sposes, valid,
+            bool(cfg.coarse_map_use_blur), bool(cfg.fine_map_use_blur))
         self.state = self.state._replace(fine=fine, coarse=coarse)
 
     # ---- async pipeline (the reference's back-end thread) ----
@@ -999,27 +1078,20 @@ class SlamEngine:
             self._grow_pub_to_bbox(bbox[0], bbox[1], _locked=True)
         pts, msk, poses, valid = self.store.all_arrays()
         cfg = self.config
-        pub = rebuild_count_map(
-            self.fspec.pub_spec, self.state.pub.offset, pts, msk, poses, valid,
+        pub, coarse, fine = _rebuild_all_maps(
+            self.fspec.pub_spec, self.fspec.coarse_spec, self.fspec.fine_spec,
+            self.state.pub.offset, self.state.coarse.offset,
+            self.state.fine.offset, pts, msk, poses, valid,
             jnp.float32(cfg.map_update_free_factor),
             jnp.float32(cfg.map_update_occu_factor),
-            first_scan_extra=int(cfg.map_min_passthrough),
-        )
-        coarse = stamp_scan_batch(
-            self.fspec.coarse_spec,
-            ProbMap(jnp.full_like(self.state.coarse.probs,
-                                  self.fspec.coarse_spec.default_prob),
-                    self.state.coarse.offset),
-            pts, msk, poses, valid, use_blur=cfg.coarse_map_use_blur)
-        fine = stamp_scan_batch(
-            self.fspec.fine_spec,
-            ProbMap(jnp.full_like(self.state.fine.probs,
-                                  self.fspec.fine_spec.default_prob),
-                    self.state.fine.offset),
-            pts, msk, poses, valid, use_blur=cfg.fine_map_use_blur)
+            int(cfg.map_min_passthrough), bool(cfg.coarse_map_use_blur),
+            bool(cfg.fine_map_use_blur))
         # carry the corrected latest pose forward (deviation from the
         # reference, which leaves current_sensor_pose_ stale across its
         # async boundary; carrying the correction is strictly more robust)
+        # mirror through float32 so the host copy equals the device value
+        self._host_pose = np.asarray(self.store.poses[-1],
+                                     np.float32).astype(np.float64)
         new_pose = jnp.asarray(self.store.poses[-1], jnp.float32)
         self.state = self.state._replace(
             pub=pub, coarse=coarse, fine=fine, pose=new_pose,
@@ -1125,6 +1197,32 @@ class SlamEngine:
             best_effort(lambda b=b: self.backend._match_chain_batch(
                 [[0]] * b, 0, self.store.poses[0].copy()),
                 f"chain-match bucket {b}")
+        # 1b. the FUSED frontend+chain program at the same buckets
+        #     (sync fused mode) — AOT lower+compile only: the live program
+        #     donates the state and store buffers, so executing it here
+        #     would consume them; compilation alone warms the persistent
+        #     cache, which is where the cost lives.
+        if self._fused_backend and not self.config.use_running_range_scan_match:
+            from .backend.processor import fused_frontend_chain_step
+
+            def warm_fused(b):
+                all_pts, all_msk, all_nv, all_poses, _cap = \
+                    self.store.device_arrays(reserve=1)
+                K = self.bspec.max_chain_scans
+                ids = jnp.asarray(np.full((b, K), -1, np.int32))
+                P = self.store.max_points
+                fused_frontend_chain_step.lower(
+                    self.fspec, self.bspec, self.state,
+                    jnp.zeros((P, 2), jnp.float32), jnp.zeros((P,), bool),
+                    jnp.int32(0), jnp.zeros(3, jnp.float32),
+                    jnp.zeros(3, jnp.float32),
+                    all_pts, all_msk, all_nv, all_poses, ids,
+                    jnp.int32(0)).compile()
+
+            for b in match_buckets:
+                if b > step:
+                    continue
+                best_effort(lambda b=b: warm_fused(b), f"fused bucket {b}")
         # 2. SPA solver shape buckets. The live path buckets nodes and
         #    edges INDEPENDENTLY (as_solver_data), and edges normally
         #    outnumber vertices, so the common live shapes are
@@ -1149,32 +1247,23 @@ class SlamEngine:
         cfg = self.config
         with self._state_lock:
             pub_off = self.state.pub.offset
-            coarse0 = ProbMap(
-                jnp.full_like(self.state.coarse.probs,
-                              self.fspec.coarse_spec.default_prob),
-                self.state.coarse.offset)
-            fine0 = ProbMap(
-                jnp.full_like(self.state.fine.probs,
-                              self.fspec.fine_spec.default_prob),
-                self.state.fine.offset)
+            coarse_off = self.state.coarse.offset
+            fine_off = self.state.fine.offset
+
         def rebuilds(cap):
+            # the exact program _apply_corrections_locked dispatches
             pts = jnp.zeros((cap, self.store.max_points, 2), jnp.float32)
             msk = jnp.zeros((cap, self.store.max_points), bool)
             poses_j = jnp.zeros((cap, 3), jnp.float32)
             valid = jnp.zeros((cap,), bool)
-            out = (
-                rebuild_count_map(
-                    self.fspec.pub_spec, pub_off, pts, msk,
-                    poses_j, valid, jnp.float32(cfg.map_update_free_factor),
-                    jnp.float32(cfg.map_update_occu_factor),
-                    first_scan_extra=int(cfg.map_min_passthrough)),
-                stamp_scan_batch(self.fspec.coarse_spec, coarse0,
-                                 pts, msk, poses_j, valid,
-                                 use_blur=cfg.coarse_map_use_blur),
-                stamp_scan_batch(self.fspec.fine_spec, fine0,
-                                 pts, msk, poses_j, valid,
-                                 use_blur=cfg.fine_map_use_blur),
-            )
+            out = _rebuild_all_maps(
+                self.fspec.pub_spec, self.fspec.coarse_spec,
+                self.fspec.fine_spec, pub_off, coarse_off, fine_off,
+                pts, msk, poses_j, valid,
+                jnp.float32(cfg.map_update_free_factor),
+                jnp.float32(cfg.map_update_occu_factor),
+                int(cfg.map_min_passthrough), bool(cfg.coarse_map_use_blur),
+                bool(cfg.fine_map_use_blur))
             jax.block_until_ready(out)
 
         for cap in rebuild_buckets:

@@ -137,6 +137,12 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
     st._pub_arrays = (engine.fspec.pub_spec,
                       engine.state.pub.hits, engine.state.pub.passes,
                       engine.state.pub.offset)
+    # refresh the engine's host mirror of pose/offsets (the live path
+    # reads these instead of fetching device state per scan)
+    engine._host_pose = np.asarray(z["state_pose"], np.float64)
+    engine._host_fine_off = np.asarray(z["fine_offset"], np.float64)
+    engine._host_coarse_off = np.asarray(z["coarse_offset"], np.float64)
+    engine._host_pub_off = np.asarray(z["pub_offset"], np.float64)
 
     # engine memory
     for row in z["trajectory"]:

@@ -92,9 +92,10 @@ def annotate(name: str):
 
 # ---- roofline accounting -------------------------------------------------
 
-# per-chip peaks; v5e from public spec sheets (bf16 MXU, HBM BW)
+# per-chip peaks; v5e from public spec sheets (197 bf16 MXU TFLOPs — the
+# oft-quoted 394 is the int8 figure — and 819 GB/s HBM)
 DEVICE_PEAKS = {
-    "TPU v5 lite": {"bf16_tflops": 394.0, "hbm_gbps": 819.0},
+    "TPU v5 lite": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
     "TPU v4": {"bf16_tflops": 275.0, "hbm_gbps": 1228.0},
     "cpu": {"bf16_tflops": 0.2, "hbm_gbps": 20.0},
 }

@@ -236,7 +236,7 @@ def measure_ours_tpu(scene: str, warm_scans: int = 40) -> dict:
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     assert jax.default_backend() == "tpu", (
         "ours-tpu must run on the TPU backend (no JAX_PLATFORMS=cpu)")
 
@@ -299,7 +299,7 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     assert jax.default_backend() == "tpu", (
         "ours-tpu-e2e must run on the TPU backend")
 
@@ -309,6 +309,7 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
     t_start = time.time()
     t_meas0 = None
     kept0 = fed0 = 0
+    diag0: dict = {}
     fed = 0
     for i in range(n):
         engine.process(log.ranges[i], log.odom[i], float(log.times[i]))
@@ -323,12 +324,37 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
             engine.timers = StageTimers()
             t_meas0 = time.time()
             kept0, fed0 = len(engine.store), fed
+            diag0 = {"fused_steps": engine.diag.fused_steps,
+                     "chain": engine.backend.num_chain_dispatches,
+                     "hits": engine.backend.num_fused_hits,
+                     "misses": engine.backend.num_fused_misses,
+                     "solves": engine.backend.num_solves,
+                     "clip": engine.diag.pub_clip_rebuilds}
         if time.time() - t_start > max_wall_s and t_meas0 is not None:
             break
+    # dispatch accounting snapshot at measurement start (diag/backend
+    # counters are cumulative; the warm-up segment must not count)
     engine.finish()
     wall = time.time() - (t_meas0 or t_start)
     kept = len(engine.store) - kept0
     stages = engine.timers.stages
+    b = engine.backend
+    d = engine.diag
+    dispatch = {
+        # the fused program = frontend step + chain matches + store append
+        "fused_steps": d.fused_steps - diag0.get("fused_steps", 0),
+        "plain_frontend_steps": (
+            stages.get("frontend_step").count if "frontend_step" in stages
+            else 0) - (d.fused_steps - diag0.get("fused_steps", 0)),
+        "separate_chain_batches": (b.num_chain_dispatches
+                                   - diag0.get("chain", 0)),
+        "fused_chain_hits": b.num_fused_hits - diag0.get("hits", 0),
+        "fused_chain_misses": b.num_fused_misses - diag0.get("misses", 0),
+        "solves": b.num_solves - diag0.get("solves", 0),
+        "pub_clip_rebuilds": d.pub_clip_rebuilds - diag0.get("clip", 0),
+    }
+    n_dispatch = (dispatch["fused_steps"] + dispatch["plain_frontend_steps"]
+                  + dispatch["separate_chain_batches"] + dispatch["solves"])
     return {
         "scene": scene,
         "mode": "sync" if synchronous else "async",
@@ -341,12 +367,14 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
         "fed_scans_per_sec": (fed - fed0) / wall if wall > 0 else 0.0,
         "stages_mean_ms": {k: s.mean_ms for k, s in stages.items()},
         "stages_count": {k: s.count for k, s in stages.items()},
-        # engine stage calls per kept scan; each stage issues 1-2 device
-        # dispatches (frontend: step; backend: store append + chain match;
-        # loop: coarse batch when candidates exist, + fine/solve on a hit),
-        # so actual dispatches/scan is ~3-4
         "stage_calls_per_kept_scan": (
             sum(s.count for s in stages.values()) / max(kept, 1)),
+        # true device-dispatch accounting (round-4 fusion: the steady-state
+        # sync path is ONE dispatch per processed scan — chain matches and
+        # the store append ride the frontend program; solves/corrections
+        # and fused-set misses add the remainder)
+        "dispatches": dispatch,
+        "dispatches_per_kept_scan": n_dispatch / max(kept, 1),
     }
 
 
