@@ -86,7 +86,7 @@ def fused_frontend_chain_step(fspec, bspec: BackendSpec, state,
     advance the cursor, so the slot is dead until the next accepted scan
     overwrites it. Chain gathers only read ids < store_slot, so the append
     never feeds back into this dispatch."""
-    from ..frontend.processor import frontend_step
+    from ..frontend.processor import frontend_step, pack_step_summary
 
     state, info = frontend_step(fspec, state, points, mask, n_valid,
                                 last_odom, cur_odom)
@@ -109,7 +109,7 @@ def fused_frontend_chain_step(fspec, bspec: BackendSpec, state,
         jax.lax.dynamic_update_index_in_dim(all_poses, info.pose,
                                             store_slot, 0),
     )
-    return state, info, out, new_store
+    return state, pack_step_summary(info), out, new_store
 
 
 @partial(jax.jit, static_argnames=("spec",))

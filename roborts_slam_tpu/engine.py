@@ -24,8 +24,10 @@ from .config import SlamConfig
 from .backend.processor import Backend, BackendSpec
 from .frontend.processor import (
     FrontendSpec, FrontendState, frontend_step, init_frontend_state,
+    pack_step_summary,
 )
-from .models.scan import LaserModel, scan_from_ranges
+
+from .models.scan import LaserModel, ranges_to_packed
 from .ops.raster import rebuild_count_map, stamp_scan_batch
 from .models.grid_map import CountMap, ProbMap, count_map_states
 from .utils.profiling import StageTimers
@@ -42,6 +44,24 @@ def _store_append_impl(buf_pts, buf_msk, buf_nv, buf_poses,
 
 
 _store_append = jax.jit(_store_append_impl, donate_argnums=(0, 1, 2, 3))
+
+
+def _step_summary(spec, state, points, mask, n_valid, last_odom, cur_odom):
+    """frontend_step returning the packed (15,) summary instead of StepInfo
+    (one host fetch per scan instead of three)."""
+    state, info = frontend_step(spec, state, points, mask, n_valid,
+                                last_odom, cur_odom)
+    return state, pack_step_summary(info)
+
+
+def _step_windowed_summary(spec, state, wp, wm, wps, wv,
+                           points, mask, n_valid, last_odom, cur_odom):
+    from .frontend.processor import frontend_step_windowed
+
+    state, info = frontend_step_windowed(spec, state, wp, wm, wps, wv,
+                                         points, mask, n_valid, last_odom,
+                                         cur_odom)
+    return state, pack_step_summary(info)
 
 
 from functools import partial as _partial
@@ -456,12 +476,10 @@ class SlamEngine:
         # the back end cannot hold references across a later step
         donate = (1,) if synchronous_backend else ()
         self._step = jax.jit(
-            frontend_step, static_argnames=("spec",), donate_argnums=donate)
+            _step_summary, static_argnames=("spec",), donate_argnums=donate)
         if config.use_running_range_scan_match:
-            from .frontend.processor import frontend_step_windowed
-
             self._step_windowed = jax.jit(
-                frontend_step_windowed, static_argnames=("spec",),
+                _step_windowed_summary, static_argnames=("spec",),
                 donate_argnums=donate)
         self._pending_backend: list[tuple] = []   # (scan_id, cov, prematched)
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
@@ -507,10 +525,10 @@ class SlamEngine:
                 and len(self._odom_history) >= 2):
             points, mask, n_valid = self._dedistorted_points(ranges, t)
         else:
-            scan = scan_from_ranges(ranges, self.laser, odom, t,
-                                    self.config.max_points)
-            points, mask = scan.points, scan.mask
-            n_valid = int(np.sum(np.asarray(scan.mask)))
+            # pure-NumPy ingest: building jnp arrays here and fetching them
+            # back for the host-side store cost 3 tunnel round-trips/scan
+            points, mask, n_valid = ranges_to_packed(
+                ranges, self.laser, self.config.max_points)
         return self._process_gated(points, mask, n_valid, odom, t)
 
     def _dedistorted_points(self, ranges: np.ndarray, t: float):
@@ -581,7 +599,7 @@ class SlamEngine:
                 # running-range window scans are the match map source
                 win = self.store.running_range_arrays(
                     self.config.running_range_size)
-                self.state, info = self._step_windowed(
+                self.state, summary = self._step_windowed(
                     self.fspec, self.state, *win, points, mask,
                     jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                     jnp.asarray(odom, jnp.float32))
@@ -591,7 +609,7 @@ class SlamEngine:
                 all_pts, all_msk, all_nv, all_poses, _cap = \
                     self.store.device_arrays(reserve=1)
                 slot = self.store._dev_count
-                self.state, info, chain_out, new_store = \
+                self.state, summary, chain_out, new_store = \
                     fused_frontend_chain_step(
                         self.fspec, self.bspec, self.state, points, mask,
                         jnp.int32(n_valid),
@@ -601,23 +619,25 @@ class SlamEngine:
                         fused_in["ids"], jnp.int32(slot))
                 self.diag.fused_steps += 1
             else:
-                self.state, info = self._step(
+                self.state, summary = self._step(
                     self.fspec, self.state, points, mask,
                     jnp.int32(n_valid), jnp.asarray(last_odom, jnp.float32),
                     jnp.asarray(odom, jnp.float32))
-        # ONE bundled fetch for everything the host needs from the step
-        # (each separate np.asarray(device_array) is its own tunnel
-        # round-trip; round 3 paid three here)
-        pose_f, acc_f, cov_f = jax.device_get(
-            (info.pose, info.map_updated, info.cov))
-        accepted = bool(acc_f)
+        # ONE fetch of the packed (15,) summary — pose + cov + gates. Each
+        # additional fetched leaf is its own ~15-30 ms tunnel round-trip
+        # (round 3 paid three; round 4's first cut paid six). Timed apart
+        # from the enqueue: this wait IS the step's completion.
+        with self.timers.stage("frontend_fetch"):
+            s = np.asarray(jax.device_get(summary), np.float64)
+        accepted = bool(s[12] > 0.5)
         if chain_out is not None:
             # the fused dispatch consumed (donated) the store buffers;
             # install the returned ones whether or not the scan was kept
             self.store.absorb_fused_append(*new_store, accepted=accepted)
-        pose = np.asarray(pose_f, np.float64)
-        # info.pose IS the new state.pose (frontend_step stores the same
-        # gated value in both), so the mirror updates unconditionally
+        pose = s[:3].copy()
+        cov_f = s[3:12].reshape(3, 3)
+        # summary's pose IS the new state.pose (frontend_step stores the
+        # same gated value in both), so the mirror updates unconditionally
         self._host_pose = pose.copy()
         self.diag.match_time_s += _time.perf_counter() - t0
 

@@ -82,6 +82,20 @@ class StepInfo(NamedTuple):
     pose_accepted: jnp.ndarray  # () bool — pose gate passed
 
 
+def pack_step_summary(info: StepInfo) -> jnp.ndarray:
+    """StepInfo flattened to ONE (15,) f32 vector: pose(3) + cov(9) +
+    [map_updated, pose_accepted, score]. The engine fetches exactly this
+    per scan — fetching the tuple leaves separately cost one ~15-30 ms
+    tunnel round-trip EACH (measured round 4)."""
+    return jnp.concatenate([
+        info.pose.astype(jnp.float32),
+        info.cov.reshape(-1).astype(jnp.float32),
+        jnp.stack([info.map_updated.astype(jnp.float32),
+                   info.pose_accepted.astype(jnp.float32),
+                   info.score.astype(jnp.float32)]),
+    ])
+
+
 def init_frontend_state(spec: FrontendSpec) -> FrontendState:
     """Maps centered on the start pose, reference map-offset convention
     (CreateAllMap, slam_processor.cpp:468-471: offset = init_map_size *

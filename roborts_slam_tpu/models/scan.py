@@ -100,6 +100,23 @@ def pack_points(pts: np.ndarray, max_points: int):
     return points, mask, n
 
 
+def ranges_to_packed(ranges: np.ndarray, laser: LaserModel,
+                     max_points: int):
+    """Host-only polar → cartesian + range gating + front-packing
+    (BuildRangeDataContainer, roborts_slam_node.cpp:290-311). Returns pure
+    NumPy ``(points (max_points, 2) f32, mask (max_points,) bool, n_valid)``
+    — the engine ingest path uses this directly: round-tripping the packed
+    scan through the device (scan_from_ranges builds jnp arrays) cost three
+    fetch round-trips per scan through the dispatch tunnel."""
+    ranges = np.asarray(ranges, dtype=np.float32)
+    angles = laser.angles.astype(np.float32)
+    valid = (ranges > laser.range_min) & (ranges < laser.range_threshold)
+    r = ranges[valid]
+    a = angles[valid]
+    pts = np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
+    return pack_points(pts, max_points)
+
+
 def scan_from_ranges(
     ranges: np.ndarray,
     laser: LaserModel,
