@@ -435,28 +435,35 @@ def render_report(res: dict) -> str:
     if e2e_keys:
         lines += [
             "## Sustained end-to-end (front + back) on TPU", "",
-            "Wall-clock replay through this environment's dispatch tunnel"
-            " (~30-45 ms per dispatch); `stage calls/scan` counts engine"
-            " stage invocations per kept scan — each issues 1-2 device"
-            " dispatches (~3-4 dispatches/scan total), so dispatches x"
-            " 0.1 ms"
-            " estimates the same pipeline on directly-attached hardware"
-            " (~100 us floor).", "",
-            "| Scene | mode | kept scans/s (tunnel) | stage calls/scan |"
-            " frontend ms | backend link ms | loop ms |"
+            "Wall-clock replay through this environment's dispatch tunnel."
+            " Round-4 fusion runs the frontend step, the LinkNearChains +"
+            " TryCloseLoop-coarse chain matches, and the device-store append"
+            " as ONE program, and the host fetches a single packed (15,)"
+            " summary per scan — `disp/scan` is the TRUE device-dispatch"
+            " count per kept scan (fused + plain steps + fallback chain"
+            " batches + solves). The remaining per-scan floor is one ~30 ms"
+            " fetch round-trip; on directly-attached hardware the same"
+            " fetch is ~100 us.", "",
+            "| Scene | mode | kept scans/s (tunnel) | disp/scan |"
+            " fused hits/misses | dispatch ms | fetch ms | loop ms |"
             " ref full-pipeline scans/s |",
-            "|---|---|---|---|---|---|---|---|"]
+            "|---|---|---|---|---|---|---|---|---|"]
         for key in sorted(e2e_keys):
             e = res[key]
             s = e["scene"]
             r = res.get(f"ref/{s}")
             st = e["stages_mean_ms"]
+            d = e.get("dispatches", {})
             ref_sps = f"{r['scans_per_sec']:.1f}" if r else "—"
+            dps = e.get("dispatches_per_kept_scan",
+                        e.get("stage_calls_per_kept_scan", 0))
+            hm = (f"{d.get('fused_chain_hits', 0)}/"
+                  f"{d.get('fused_chain_misses', 0)}" if d else "—")
             lines.append(
                 f"| {s} | {e['mode']} | {e['kept_scans_per_sec']:.1f} |"
-                f" {e.get('stage_calls_per_kept_scan', e.get('dispatches_per_kept_scan_est', 0)):.1f} |"
-                f" {st.get('frontend_step', 0):.0f} |"
-                f" {st.get('backend_update', 0):.0f} |"
+                f" {dps:.2f} | {hm} |"
+                f" {st.get('frontend_step', 0):.1f} |"
+                f" {st.get('frontend_fetch', 0):.1f} |"
                 f" {st.get('backend_loop_closure', 0):.0f} | {ref_sps} |")
         lines.append("")
 
