@@ -245,13 +245,104 @@ def tpu_scans_per_sec(beams: int = 1081, batch: int = 1,
         out = jax.lax.fori_loop(0, K, body, (inits, jnp.float32(0)))
         return out[1]
 
+    # AOT executable sidecar (VERDICT r3 item 1): the relay's compile time
+    # for the SAME program swings 60 s .. 8+ min with its load, and the
+    # driver gives bench.py a 500 s deadline. The compiled executable is
+    # serialized to bench_aot/ keyed by a hash of the lowered StableHLO
+    # (consts + shapes included), so a driver run deserializes in
+    # milliseconds and never waits on the relay compiler. Any failure
+    # falls back to the normal jit path.
+    if log:
+        log("workload + program built")
+    call = chained
+    if content is None and not os.environ.get("BENCH_NO_AOT"):
+        try:
+            call = _aot_cached(chained, (fine_probs, jnp.int32(1)), log,
+                               key_extra=f"beams={beams},batch={batch}") \
+                or chained
+        except Exception as e:  # noqa: BLE001
+            if log:
+                log(f"AOT sidecar path failed ({e!r:.120}); using jit")
+            call = chained
+
     # the seed perturbation defeats relay-side memoization (timing.py)
-    f = lambda seed, K: chained(fine_probs + jnp.float32(seed) * 1e-7,
-                                jnp.int32(K))
+    f = lambda seed, K: call(fine_probs + jnp.float32(seed) * 1e-7,
+                             jnp.int32(K))
     per_iter, _ = k_slope_dynamic(f, k_points=k_points, reps=reps,
                                   deadline=deadline, log=log,
                                   partial_out=partial_out)
     return batch / per_iter
+
+
+def _aot_source_key(extra: str) -> str:
+    """Content key for the headline executable WITHOUT lowering: on the
+    axon backend even ``jit.lower()`` makes remote calls that can stall
+    for minutes, so the key hashes everything the traced program is a
+    function of — the package sources, the reference config, the jax
+    version and device kind. Conservative (any source edit invalidates),
+    which only costs one slow re-compile + sidecar refresh."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    pkg = os.path.join(REPO, "roborts_slam_tpu")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    with open("/root/reference/config/simulatin_param.yaml", "rb") as fh:
+        h.update(fh.read())
+    h.update((jax.__version__ + jax.devices()[0].device_kind
+              + extra).encode())
+    return h.hexdigest()[:16]
+
+
+def _aot_cached(jitted, example_args, log=None, key_extra=""):
+    """Deserialize the bench executable from the committed sidecar if the
+    source key matches; otherwise compile once and (re)write the sidecar.
+    Returns a callable or None."""
+    key = _aot_source_key(key_extra)
+    if log:
+        log("source key computed")
+    aot_dir = os.path.join(REPO, "bench_aot")
+    blob_path = os.path.join(aot_dir, f"headline-{key}.jaxexec")
+    from jax.experimental.serialize_executable import (
+        deserialize_and_load, serialize,
+    )
+
+    if os.path.exists(blob_path):
+        import pickle
+
+        if log:
+            log(f"AOT sidecar hit ({key}): loading executable")
+        with open(blob_path, "rb") as fh:
+            blob, in_tree, out_tree = pickle.load(fh)
+        loaded = deserialize_and_load(blob, in_tree, out_tree)
+        if log:
+            log("AOT executable loaded: compile skipped")
+        return loaded
+    if log:
+        log(f"AOT sidecar miss ({key}): compiling + writing sidecar")
+    compiled = jitted.lower(*example_args).compile()
+    try:
+        import pickle
+
+        os.makedirs(aot_dir, exist_ok=True)
+        payload = serialize(compiled)
+        # drop stale sidecars: one live key keeps the repo small
+        for old in os.listdir(aot_dir):
+            if old.startswith("headline-") and key not in old:
+                os.remove(os.path.join(aot_dir, old))
+        with open(blob_path, "wb") as fh:
+            pickle.dump(payload, fh)
+    except Exception as e:  # noqa: BLE001 — sidecar write is best-effort
+        if log:
+            log(f"sidecar write skipped: {e!r:.120}")
+    return compiled
 
 
 def main():
