@@ -3,12 +3,13 @@
 Measures, on the SAME chip and through the same K-slope timing protocol the
 headline bench uses (roborts_slam_tpu/bench/timing.py):
 
-1. HBM copy bandwidth — chained ``x = x * c`` over a 64 MB f32 plane
-   (reads + writes 128 MB per iteration);
-2. VPU f32 add throughput — 8 independent accumulators x 16 dependent adds
-   per iteration over a VMEM-sized block (compute-bound by construction:
-   arithmetic intensity 64 adds/byte of HBM traffic);
-3. the shared-slab 3-tier ``scan_match`` on the headline workload;
+1. HBM copy bandwidth — chained ``x = x * c`` over a 256 MB f32 plane
+   (reads + writes per iteration; large enough to defeat VMEM residency);
+2. the shared-slab 3-tier ``scan_match`` on the headline workload;
+
+(The VPU peak is the spec-derived constant — every attempted XLA-level
+ALU microbenchmark was eventually algebraically collapsed; see the
+comment at step 2.)
 
 then divides the match's analytic VPU-add count and HBM byte traffic
 (roborts_slam_tpu/bench/roofline.scan_match_cost — derived from the kernel's
@@ -46,44 +47,45 @@ def main():
     def log(m):
         print(m, file=sys.stderr, flush=True)
 
-    # ---- 1. HBM copy bandwidth ----
-    M = 64 * 1024 * 1024 // 4
-    x0 = jnp.arange(M, dtype=jnp.float32).reshape(4096, -1)
+    # ---- 1. memory bandwidth: VMEM-resident and HBM-resident ----
+    # x = x * c per iteration: c != 1.0f exactly, so XLA cannot fold the
+    # loop body away (the first cut used 1 + 1e-12, which IS 1.0f — the
+    # loop became a no-op). A 64 MB array fits v5e's VMEM, so the small
+    # loop measures VMEM streaming; the 256 MB one forces HBM traffic.
+    C = jnp.float32(1.0 + 1e-6)
 
-    @jax.jit
-    def copy_chain(x, K):
-        return jax.lax.fori_loop(
-            0, K, lambda i, x: x * jnp.float32(1.0 + 1e-12), x).sum()
+    # seed perturbations must be REPRESENTABLE in f32 at the operand
+    # magnitude (0.5 + 1e-9 == 0.5f): an identical input lets the relay
+    # serve memoized results and the K-slope collapses to zero, which is
+    # exactly how earlier cuts "measured" petabyte bandwidths.
+    def bw(mbytes: int) -> float:
+        M = mbytes * 1024 * 1024 // 4
+        x0 = jnp.full((4096, M // 4096), 0.5, jnp.float32)
 
-    per, _ = k_slope_dynamic(
-        lambda seed, K: copy_chain(x0 + jnp.float32(seed), jnp.int32(K)),
-        k_points=(16, 64), reps=3)
-    hbm_gbps = 2.0 * M * 4 / per / 1e9
-    log(f"measured copy bandwidth: {hbm_gbps:.0f} GB/s")
+        @jax.jit
+        def copy_chain(x, K):
+            return jax.lax.fori_loop(0, K, lambda i, x: x * C, x).sum()
 
-    # ---- 2. VPU f32 add throughput ----
-    B = 512 * 1024 // 4                    # 512 KB block: VMEM-resident
-    blk = jnp.ones((B // 128, 128), jnp.float32)
+        per, _ = k_slope_dynamic(
+            lambda seed, K: copy_chain(x0 + jnp.float32(seed) * 1e-3,
+                                       jnp.int32(K)),
+            k_points=(16, 64), reps=3)
+        return 2.0 * M * 4 / per / 1e9
 
-    @jax.jit
-    def add_chain(y, K):
-        def body(i, accs):
-            out = []
-            for a in accs:                 # 8 independent chains x 16 adds
-                for _ in range(16):
-                    a = a + y
-                out.append(a)
-            return tuple(out)
-        accs = jax.lax.fori_loop(
-            0, K, body, tuple(blk * (j + 1) for j in range(8)))
-        return sum(a.sum() for a in accs)
+    hbm_gbps = bw(256)
+    log(f"measured HBM bandwidth: {hbm_gbps:.0f} GB/s")
 
-    per_v, _ = k_slope_dynamic(
-        lambda seed, K: add_chain(blk * jnp.float32(1 + seed * 1e-9),
-                                  jnp.int32(K)),
-        k_points=(16, 64), reps=3)
-    vpu_adds_per_s = 8 * 16 * B / per_v
-    log(f"measured VPU f32 add rate: {vpu_adds_per_s / 1e12:.2f} Tadds/s")
+    # ---- 2. VPU peak: spec-derived ----
+    # Microbenchmarking the VPU through XLA proved unreliable: every
+    # affine chain (adds, fma, even max-of-products) gets algebraically
+    # collapsed by the simplifier sooner or later, and each collapse
+    # "measures" an impossible rate (earlier cuts: 1.2, 8.9, 17.9 T
+    # lane-ops/s against a ~3.9 T theoretical ceiling). The peak here is
+    # therefore the public architecture number, stated with its formula:
+    # v5e TensorCore VPU = (8 sublanes x 128 lanes) x 4 ALUs x ~940 MHz.
+    vpu_adds_per_s = 8 * 128 * 4 * 0.94e9
+    log(f"VPU peak (spec: 8x128 lanes x 4 ALUs x 0.94 GHz): "
+        f"{vpu_adds_per_s / 1e12:.2f} T lane-ops/s")
 
     # ---- 3. the 3-tier match on the headline workload ----
     w = headline_workload(1081)
@@ -109,21 +111,36 @@ def main():
     s = roofline_summary(cost, per_m, hbm_peak_gbps=hbm_gbps,
                          vpu_peak_adds_per_s=vpu_adds_per_s)
 
-    bound = "VPU" if s["vpu_frac"] > s["hbm_frac"] else "HBM"
+    vmem_bytes = 2.0 * s["vpu_adds"]          # bf16 window loads from VMEM
     print(f"""## Correlation-kernel roofline (measured {jax.devices()[0].device_kind})
+
+HBM peak and match time measured on the SAME chip with the same K-slope
+protocol; the VPU peak is the spec formula (XLA-level ALU microbenchmarks
+kept getting algebraically collapsed — see the script); analytic counts
+come from the kernel's own planning helpers (bench/roofline.py).
 
 | Quantity | Value |
 |---|---|
 | 3-tier match (shared slab) | {s['match_us']:.0f} us |
-| Analytic VPU adds / match | {s['vpu_adds'] / 1e6:.1f} M |
-| Analytic HBM bytes / match | {s['hbm_bytes'] / 1e6:.1f} MB |
-| Achieved VPU add rate | {s['achieved_gadds'] / 1e3:.2f} Tadds/s |
-| Microbenchmarked VPU peak | {vpu_adds_per_s / 1e12:.2f} Tadds/s |
+| Analytic VPU lane-adds / match | {s['vpu_adds'] / 1e6:.1f} M |
+| Analytic HBM bytes / match (slab build + streams) | {s['hbm_bytes'] / 1e6:.1f} MB |
+| Analytic VMEM window-load bytes / match | {vmem_bytes / 1e6:.1f} MB |
+| Achieved VPU rate | {s['achieved_gadds'] / 1e3:.2f} T lane-ops/s |
+| VPU peak (spec: 8x128 lanes x 4 ALUs x 0.94 GHz) | {vpu_adds_per_s / 1e12:.2f} T lane-ops/s |
 | **VPU fraction of peak** | **{100 * s['vpu_frac']:.0f}%** |
 | Achieved HBM bandwidth | {s['achieved_gbps']:.0f} GB/s |
-| Microbenchmarked copy peak | {hbm_gbps:.0f} GB/s |
+| Microbenchmarked HBM peak (256 MB stream) | {hbm_gbps:.0f} GB/s |
 | **HBM fraction of peak** | **{100 * s['hbm_frac']:.0f}%** |
-| Binding resource | {bound} |
+| VMEM window-load rate implied by match time | {vmem_bytes / (s['match_us'] * 1e-6) / 1e9:.0f} GB/s |
+
+What bounds the 3-tier match: none of the three throughputs saturates —
+the kernel executes ~{sum(t.n_angles * t.samples for t in cost.tiers):,}
+serial (angle, sample) steps, each a dynamically-addressed short
+(rows x 128) load+accumulate, so the cost is per-step latency/loop
+overhead (~{s['match_us'] * 1e3 / sum(t.n_angles * t.samples for t in cost.tiers):.0f} ns/step), not bandwidth or ALU throughput. Speed-of-light
+per the VPU peak would be ~{s['vpu_adds'] / vpu_adds_per_s * 1e6:.0f} us;
+closing the gap needs wider per-step windows (more rows per accumulate)
+or parallel grid cores (v5e has one TensorCore), not more bandwidth.
 
 Per-tier plan (angles x samples x rows x 128-lane adds):""")
     for t in cost.tiers:

@@ -517,6 +517,13 @@ def main() -> None:
             save_results(res)
             print(json.dumps(res[key], indent=2))
     elif args.mode == "ours":
+        # quality replay runs on the CPU backend: per-scan dispatches
+        # through the tunnel would make full-log replays take hours, and
+        # holding the chip would serialize against any concurrent TPU job
+        # (the env-var pin alone cannot override the sitecustomize preload)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         ensure_logs(args.scenes)
         for scene in args.scenes:
             res[f"ours/{scene}"] = measure_ours(scene)
