@@ -416,7 +416,6 @@ def main():
                 rec["roofline"] = _roofline_fields(batch / tpu)
             except Exception as e:  # noqa: BLE001 — accounting is best-effort
                 log(f"roofline accounting skipped: {e!r}")
-        elif not os.environ.get("BENCH_PLATFORM"):
             # last-known-good for the stale fallback. Only real-platform runs
             # qualify: a BENCH_PLATFORM=cpu smoke run measures the HOST and
             # must never masquerade as the chip's last-known-good.
