@@ -319,12 +319,24 @@ def _aot_cached(jitted, example_args, log=None, key_extra=""):
 
         if log:
             log(f"AOT sidecar hit ({key}): loading executable")
-        with open(blob_path, "rb") as fh:
-            blob, in_tree, out_tree = pickle.load(fh)
-        loaded = deserialize_and_load(blob, in_tree, out_tree)
-        if log:
-            log("AOT executable loaded: compile skipped")
-        return loaded
+        try:
+            with open(blob_path, "rb") as fh:
+                blob, in_tree, out_tree = pickle.load(fh)
+            loaded = deserialize_and_load(blob, in_tree, out_tree)
+            # probe ONE execution (doubles as warm-up): a sidecar built
+            # under a different runtime/topology can load fine and still
+            # fail at execute time — that must fall back to compiling,
+            # not crash the bench mid-measurement
+            import jax as _jax
+
+            _jax.block_until_ready(loaded(*example_args))
+        except Exception as e:  # noqa: BLE001
+            if log:
+                log(f"sidecar unusable ({e!r:.120}); recompiling")
+        else:
+            if log:
+                log("AOT executable loaded: compile skipped")
+            return loaded
     if log:
         log(f"AOT sidecar miss ({key}): compiling + writing sidecar")
     compiled = jitted.lower(*example_args).compile()
