@@ -304,7 +304,15 @@ def _aot_source_key(extra: str) -> str:
 def _aot_cached(jitted, example_args, log=None, key_extra=""):
     """Deserialize the bench executable from the committed sidecar if the
     source key matches; otherwise compile once and (re)write the sidecar.
-    Returns a callable or None."""
+    Returns a callable or None.
+
+    The sidecar holds ONLY the raw serialized-executable bytes. The
+    in/out treedefs `deserialize_and_load` needs are reconstructed locally
+    (tree_structure of the example args + eval_shape of the jitted fn —
+    pure tracing, no compile, no device contact), so nothing from the
+    checked-in file is ever unpickled (ADVICE r4: a pickle.load of a
+    repo-committed blob is an arbitrary-code-execution vector on a
+    tampered checkout)."""
     key = _aot_source_key(key_extra)
     if log:
         log("source key computed")
@@ -315,13 +323,14 @@ def _aot_cached(jitted, example_args, log=None, key_extra=""):
     )
 
     if os.path.exists(blob_path):
-        import pickle
-
         if log:
             log(f"AOT sidecar hit ({key}): loading executable")
         try:
             with open(blob_path, "rb") as fh:
-                blob, in_tree, out_tree = pickle.load(fh)
+                blob = fh.read()
+            in_tree = jax.tree.structure((tuple(example_args), {}))
+            out_tree = jax.tree.structure(
+                jax.eval_shape(jitted, *example_args))
             loaded = deserialize_and_load(blob, in_tree, out_tree)
             # probe ONE execution (doubles as warm-up): a sidecar built
             # under a different runtime/topology can load fine and still
@@ -341,16 +350,14 @@ def _aot_cached(jitted, example_args, log=None, key_extra=""):
         log(f"AOT sidecar miss ({key}): compiling + writing sidecar")
     compiled = jitted.lower(*example_args).compile()
     try:
-        import pickle
-
         os.makedirs(aot_dir, exist_ok=True)
-        payload = serialize(compiled)
+        blob, _in_tree, _out_tree = serialize(compiled)
         # drop stale sidecars: one live key keeps the repo small
         for old in os.listdir(aot_dir):
             if old.startswith("headline-") and key not in old:
                 os.remove(os.path.join(aot_dir, old))
         with open(blob_path, "wb") as fh:
-            pickle.dump(payload, fh)
+            fh.write(bytes(blob))
     except Exception as e:  # noqa: BLE001 — sidecar write is best-effort
         if log:
             log(f"sidecar write skipped: {e!r:.120}")

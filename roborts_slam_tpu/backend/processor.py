@@ -211,6 +211,13 @@ class Backend:
         self.num_fused_misses = 0         # predicted chain set diverged
         # bucket -> compiler-measured peak bytes (calibrate_chain_batch)
         self._measured_mem: dict[int, float] = {}
+        # same, for the FUSED frontend+chain program (engine.warm_backend
+        # records it while AOT-compiling the fused buckets): the fused
+        # program adds the frontend step's map updates + donated store
+        # append on top of the chain temps, so a bucket at the standalone
+        # boundary can OOM mid-run (ADVICE r4) — the fused batch sizer
+        # uses this dict when present
+        self._measured_mem_fused: dict[int, float] = {}
 
     # ---- device-call helpers ----
 
@@ -234,19 +241,25 @@ class Backend:
             pass
         return 6e9
 
-    def max_parallel_chains(self) -> int:
+    def max_parallel_chains(self, fused: bool = False) -> int:
         """Largest chain-match vmap width the device can hold. Preference
         order: (1) the compiler's own per-bucket peak from
         ``calibrate_chain_batch`` (memory_analysis of the compiled
-        executable — exact), (2) the analytic model: each chain in the
-        batch materializes its own coarse+fine map rebuild (stamp, blur
-        dilation, match slab — ~8 live f32 temps of map size, plus XLA's
-        observed ~2.6x fragmentation on this program). On rm-scale maps
-        (30 m lidar, 1 cm fine) B=4 compiled to a 15.9 G program and OOM'd
-        a 16 G chip; larger batches are chunked instead."""
+        executable — exact; with ``fused=True`` the FUSED program's own
+        measured peaks apply where recorded, since it layers the frontend
+        step on top of the same chain temps), (2) the analytic model: each
+        chain in the batch materializes its own coarse+fine map rebuild
+        (stamp, blur dilation, match slab — ~8 live f32 temps of map size,
+        plus XLA's observed ~2.6x fragmentation on this program). On
+        rm-scale maps (30 m lidar, 1 cm fine) B=4 compiled to a 15.9 G
+        program and OOM'd a 16 G chip; larger batches are chunked instead."""
         budget = self.device_memory_budget()
-        if self._measured_mem:
-            safe = [b for b, peak in sorted(self._measured_mem.items())
+        measured = dict(self._measured_mem)
+        if fused:
+            # the fused peak supersedes the standalone peak per bucket
+            measured.update(self._measured_mem_fused)
+        if measured:
+            safe = [b for b, peak in sorted(measured.items())
                     if peak <= budget]
             if safe:
                 return safe[-1]

@@ -482,6 +482,18 @@ class SlamEngine:
                 _step_windowed_summary, static_argnames=("spec",),
                 donate_argnums=donate)
         self._pending_backend: list[tuple] = []   # (scan_id, cov, prematched)
+        # map→odom transform (the reference's 100 Hz TF broadcast state,
+        # roborts_slam_node.cpp:178-196): pose_at(t) composes it with
+        # odometry interpolated at t, so consumers get a pose BETWEEN kept
+        # scans. Updated per accepted scan and on corrections.
+        self._map_to_odom = np.zeros(3)       # (tx, ty, dtheta)
+        # live-output hooks (PublishMapThread / PublishVisualization
+        # analogs, roborts_slam_node.cpp:355-488): on_pose fires per
+        # accepted scan; on_map_snapshot every map_snapshot_every kept
+        # scans with the rendered occupancy grid
+        self.on_pose: "Callable[[float, np.ndarray], None] | None" = None
+        self.on_map_snapshot: "Callable[[int, np.ndarray], None] | None" = None
+        self.map_snapshot_every: int = 0      # 0 = disabled
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
@@ -653,6 +665,12 @@ class SlamEngine:
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
         scan_id = self.store.add(np_points, np_mask, n_valid, pose, odom, t)
         self.trajectory.append((t, pose))
+        self._update_map_to_odom(pose, np.asarray(odom, np.float64))
+        if self.on_pose is not None:
+            self.on_pose(t, pose.copy())
+        if (self.map_snapshot_every > 0 and self.on_map_snapshot is not None
+                and len(self.store) % self.map_snapshot_every == 0):
+            self.on_map_snapshot(len(self.store), self.get_pub_map())
         self.store._pub_arrays = (self.fspec.pub_spec,
                                    self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
@@ -707,7 +725,7 @@ class SlamEngine:
         near = [ch for ch in graph.find_near_chains_for_new(bary)
                 if len(ch) >= cfg.loop_match_min_chain_size]
         loop = graph.find_all_loop_candidates_for_new(bary)
-        lim = self.backend.max_parallel_chains()
+        lim = self.backend.max_parallel_chains(fused=True)
         step = max((b for b in self.backend._BATCH_BUCKETS if b <= lim),
                    default=1)
         if len(near) + len(loop) > step:
@@ -813,7 +831,22 @@ class SlamEngine:
                           _locked: bool = False) -> bool:
         """Grow the pub map (never shrinks) so [bmin, bmax] (world meters)
         is inside its extent; returns True if it grew. Callers must NOT
-        hold the state lock unless they pass ``_locked=True``."""
+        hold the state lock unless they pass ``_locked=True``.
+
+        The need/grow computation reads the live spec + offset mirrors, and
+        the async back-end worker can also grow the map (through
+        _apply_corrections_locked) — so the read AND the resize must share
+        one lock acquisition, or a growth racing in between makes the
+        precomputed new_w/new_h smaller than the live map and the
+        `hits[shift:shift+H] = old` copy in _grow_pub_to misplaces/raises
+        (ADVICE r4 medium)."""
+        if _locked:
+            return self._grow_pub_to_bbox_locked(bmin, bmax)
+        with self._state_lock:
+            return self._grow_pub_to_bbox_locked(bmin, bmax)
+
+    def _grow_pub_to_bbox_locked(self, bmin: np.ndarray,
+                                 bmax: np.ndarray) -> bool:
         spec = self.fspec.pub_spec
         res = spec.resolution
         off = self._host_pub_off
@@ -827,15 +860,9 @@ class SlamEngine:
                            * align)
         grow_lo = np.where(need_lo > 0, cells(need_lo), 0)      # (x, y) cells
         grow_hi = np.where(need_hi > 0, cells(need_hi), 0)
-        if _locked:
-            self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
-                              spec.height + int(grow_lo[1] + grow_hi[1]),
-                              int(grow_lo[0]), int(grow_lo[1]))
-        else:
-            with self._state_lock:
-                self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
-                                  spec.height + int(grow_lo[1] + grow_hi[1]),
-                                  int(grow_lo[0]), int(grow_lo[1]))
+        self._grow_pub_to(spec.width + int(grow_lo[0] + grow_hi[0]),
+                          spec.height + int(grow_lo[1] + grow_hi[1]),
+                          int(grow_lo[0]), int(grow_lo[1]))
         return True
 
     def _scan_world_bbox(self, pose: np.ndarray, points: np.ndarray,
@@ -1112,6 +1139,12 @@ class SlamEngine:
         # mirror through float32 so the host copy equals the device value
         self._host_pose = np.asarray(self.store.poses[-1],
                                      np.float32).astype(np.float64)
+        # corrections move the map frame under the odometry: refresh the
+        # map→odom transform so pose_at(t) jumps WITH the correction
+        # (the reference recomputes it on the next matched scan; doing it
+        # here keeps the fixed-rate stream consistent immediately)
+        self._update_map_to_odom(self._host_pose,
+                                 np.asarray(self.store.odoms[-1], np.float64))
         new_pose = jnp.asarray(self.store.poses[-1], jnp.float32)
         self.state = self.state._replace(
             pub=pub, coarse=coarse, fine=fine, pose=new_pose,
@@ -1121,6 +1154,58 @@ class SlamEngine:
         self.store._pub_arrays = (self.fspec.pub_spec,
                                    self.state.pub.hits, self.state.pub.passes,
                                   self.state.pub.offset)
+
+    # ---- fixed-rate pose stream (PublishTransform thread analog,
+    #      roborts_slam_node.cpp:178-196) ----
+
+    def _update_map_to_odom(self, pose: np.ndarray, odom: np.ndarray):
+        """map→odom = pose ∘ odom⁻¹ : the SE(2) transform that carries the
+        odometry frame onto the map frame, refreshed whenever a matched
+        pose pairs with a known odometry (per kept scan + per correction) —
+        the reference computes exactly this after each accepted match
+        (roborts_slam_node.cpp:124-135) and broadcasts it at 100 Hz."""
+        dth = pose[2] - odom[2]
+        c, s = np.cos(dth), np.sin(dth)
+        self._map_to_odom = np.array([
+            pose[0] - (c * odom[0] - s * odom[1]),
+            pose[1] - (s * odom[0] + c * odom[1]),
+            dth])
+
+    def _interp_odom(self, t: float) -> np.ndarray | None:
+        """Odometry pose at time t, linearly interpolated from the rolling
+        history (shortest-arc on the angle); clamps outside the span."""
+        h = self._odom_history
+        if not h:
+            return None
+        if t <= h[0][0]:
+            return h[0][1].copy()
+        if t >= h[-1][0]:
+            return h[-1][1].copy()
+        for (t0, o0), (t1, o1) in zip(h, h[1:]):
+            if t0 <= t <= t1:
+                a = 0.0 if t1 == t0 else (t - t0) / (t1 - t0)
+                dth = np.arctan2(np.sin(o1[2] - o0[2]), np.cos(o1[2] - o0[2]))
+                return np.array([o0[0] + a * (o1[0] - o0[0]),
+                                 o0[1] + a * (o1[1] - o0[1]),
+                                 o0[2] + a * dth])
+        return h[-1][1].copy()
+
+    def pose_at(self, t: float) -> np.ndarray:
+        """Best pose estimate at an arbitrary time ``t`` — the decoupled
+        pose channel the reference serves via its 100 Hz map→odom TF
+        broadcast (roborts_slam_node.cpp:178-196): the latest map→odom
+        transform (which jumps at corrections) composed with odometry
+        interpolated at ``t``, so consumers get a pose BETWEEN kept scans
+        without waiting for the next match."""
+        o = self._interp_odom(t)
+        if o is None or not self.config.use_odometry:
+            return self._host_pose.copy()
+        tx, ty, dth = self._map_to_odom
+        c, s = np.cos(dth), np.sin(dth)
+        th = dth + o[2]
+        return np.array([tx + c * o[0] - s * o[1],
+                         ty + s * o[0] + c * o[1],
+                         np.arctan2(np.sin(th), np.cos(th))])
 
     # ---- outputs ----
 
@@ -1231,13 +1316,25 @@ class SlamEngine:
                 K = self.bspec.max_chain_scans
                 ids = jnp.asarray(np.full((b, K), -1, np.int32))
                 P = self.store.max_points
-                fused_frontend_chain_step.lower(
+                compiled = fused_frontend_chain_step.lower(
                     self.fspec, self.bspec, self.state,
                     jnp.zeros((P, 2), jnp.float32), jnp.zeros((P,), bool),
                     jnp.int32(0), jnp.zeros(3, jnp.float32),
                     jnp.zeros(3, jnp.float32),
                     all_pts, all_msk, all_nv, all_poses, ids,
                     jnp.int32(0)).compile()
+                # record the FUSED program's own compiler-measured peak so
+                # the fused batch sizer caps with it, not the standalone
+                # chain program's smaller footprint (ADVICE r4)
+                try:
+                    mem = compiled.memory_analysis()
+                    peak = (getattr(mem, "peak_memory_in_bytes", 0)
+                            or (getattr(mem, "temp_size_in_bytes", 0)
+                                + getattr(mem, "output_size_in_bytes", 0)))
+                    if peak:
+                        self.backend._measured_mem_fused[b] = float(peak)
+                except Exception:  # noqa: BLE001 — stats are best-effort
+                    pass
 
             for b in match_buckets:
                 if b > step:

@@ -219,6 +219,9 @@ def write_bag(path: str, log: ScanLog, scan_topic: str = "/scan",
     real-sensor replay path (launch/roborts_slam_realworld_hokuyo_bag.launch)
     can be exercised end-to-end without ROS: simulate → write_bag →
     bag_to_scan_log → engine."""
+    if compression not in ("none", "bz2", "lz4"):
+        raise ValueError(f"unsupported bag compression {compression!r}; "
+                         "one of none/bz2/lz4")
     chunks: list[bytes] = []
     msgs: list[bytes] = []
     conn_scan = _record(dict(op=b"\x07", conn=(0).to_bytes(4, "little"),
@@ -235,7 +238,14 @@ def write_bag(path: str, log: ScanLog, scan_topic: str = "/scan",
             return
         payload = conn_scan + conn_odom + b"".join(msgs)
         comp = compression
-        data = bz2.compress(payload) if comp == "bz2" else payload
+        if comp == "bz2":
+            data = bz2.compress(payload)
+        elif comp == "lz4":
+            from .lz4 import compress_frame
+
+            data = compress_frame(payload)
+        else:
+            data = payload
         chunks.append(_record(
             dict(op=b"\x05", compression=comp.encode(),
                  size=struct.pack("<I", len(payload))), data))

@@ -497,3 +497,66 @@ def test_fused_backend_matches_unfused(icra_log):
     np.testing.assert_allclose(np.asarray(poses[:n]),
                                e1.store.poses_array().astype(np.float32),
                                atol=0)
+
+
+def test_pose_stream_interpolates_across_correction(icra_log):
+    """pose_at(t) — the fixed-rate pose channel replacing the reference's
+    100 Hz map→odom TF thread (roborts_slam_node.cpp:178-196) — must (a)
+    interpolate odometry between kept scans through the latest map→odom
+    transform, and (b) jump WITH a pose-graph correction: after poses move,
+    pose_at at the last scan's stamp must track the corrected pose, not
+    the pre-correction one."""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    n_feed = min(len(log), 60)
+    for i in range(n_feed):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng.finish()
+    assert len(eng.trajectory) >= 3
+
+    # (a) at a kept scan's own stamp, pose_at == that scan's pose
+    t_k, p_k = eng.trajectory[-1]
+    np.testing.assert_allclose(eng.pose_at(t_k), p_k, atol=1e-6)
+    # between the last two odom samples the stream moves smoothly: the
+    # interpolated pose lies between the endpoint poses componentwise
+    (t0, _), (t1, _) = eng._odom_history[-2], eng._odom_history[-1]
+    tm = 0.5 * (t0 + t1)
+    pm = eng.pose_at(tm)
+    pa, pb = eng.pose_at(t0), eng.pose_at(t1)
+    lo = np.minimum(pa[:2], pb[:2]) - 1e-9
+    hi = np.maximum(pa[:2], pb[:2]) + 1e-9
+    assert ((pm[:2] >= lo) & (pm[:2] <= hi)).all(), (pa, pm, pb)
+
+    # (b) a correction boundary: shift every stored pose rigidly and apply
+    shift = np.array([0.35, -0.2, 0.1])
+    corrected = np.stack([
+        np.asarray(p, np.float64) + shift for p in eng.store.poses])
+    eng._apply_corrections(corrected)
+    p_after = eng.pose_at(t_k)
+    np.testing.assert_allclose(p_after[:2], (p_k + shift)[:2], atol=1e-5)
+    # the channel stays continuous AFTER the jump: interpolation still
+    # follows odometry under the refreshed transform
+    p_mid_after = eng.pose_at(tm)
+    assert np.isfinite(p_mid_after).all()
+
+
+def test_map_snapshot_hook(icra_log):
+    """The every-N-scans live map snapshot hook (the 1 Hz PublishMapThread
+    analog, roborts_slam_node.cpp:355-488) fires with a rendered grid."""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    snaps = []
+    eng.map_snapshot_every = 5
+    eng.on_map_snapshot = lambda n, grid: snaps.append((n, grid))
+    poses = []
+    eng.on_pose = lambda t, p: poses.append((t, p))
+    for i in range(min(len(log), 40)):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng.finish()
+    kept = len(eng.store)
+    assert len(snaps) == kept // 5
+    n0, grid = snaps[0]
+    assert set(np.unique(grid)) <= {-1, 0, 100}
+    assert len(poses) == kept
