@@ -20,8 +20,24 @@ Chain semantics replicated from the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
+import threading
 
 import numpy as np
+
+
+def _locked(method):
+    """Serialize graph access: with the fused async pipeline the frontend
+    thread runs chain pre-discovery (find_*_for_new — which temporarily
+    mutates the adjacency via _with_hypothetical_vertex) concurrently with
+    the worker's update_graph/try_close_loop. An RLock makes each public
+    operation atomic; discovery raciness then only affects the fused hit
+    rate (the consume-time set-equality check), never graph integrity."""
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return method(self, *args, **kwargs)
+    return wrapper
 
 
 def _pose_relative_host(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -57,18 +73,22 @@ class PoseGraph:
         self.adjacency: list[set] = []
         self.edges: list[GraphEdge] = []
         self._edge_set: set = set()
+        self._lock = threading.RLock()
 
     @property
     def num_vertices(self) -> int:
         return len(self.adjacency)
 
+    @_locked
     def add_vertex(self) -> int:
         self.adjacency.append(set())
         return len(self.adjacency) - 1
 
+    @_locked
     def has_edge(self, i: int, j: int) -> bool:
         return (min(i, j), max(i, j)) in self._edge_set
 
+    @_locked
     def add_edge(self, source: int, target: int, source_pose, target_pose,
                  covariance) -> bool:
         """Add a constraint if absent (AddEdge, range_scan_pose_graph.cpp:80-100).
@@ -104,6 +124,7 @@ class PoseGraph:
         max_d2 = self.link_scan_max_distance**2
         return (d2 < max_d2) if strict else (d2 <= max_d2)
 
+    @_locked
     def find_near_linked_scans(self, scan_id: int, barycenters: np.ndarray
                                ) -> list[int]:
         """BFS keeping vertices within link_scan_max_distance of scan_id's
@@ -123,6 +144,7 @@ class PoseGraph:
                         queue.append(nb)
         return out
 
+    @_locked
     def find_near_chains(self, scan_id: int, barycenters: np.ndarray
                          ) -> list[list[int]]:
         """FindNearChainsIds (range_scan_pose_graph.cpp:207-270)."""
@@ -171,6 +193,7 @@ class PoseGraph:
             self.adjacency.pop()
             self.adjacency[prev].discard(new_id)
 
+    @_locked
     def find_all_loop_candidates_for_new(self, barycenters_with_new:
                                          np.ndarray) -> list[list[int]]:
         """Loop-candidate discovery for the NEXT vertex (cf.
@@ -184,6 +207,7 @@ class PoseGraph:
             lambda: self.find_all_loop_candidates(new_id,
                                                   barycenters_with_new))
 
+    @_locked
     def find_near_chains_for_new(self, barycenters_with_new: np.ndarray
                                  ) -> list[list[int]]:
         """Chain discovery for the NEXT vertex (id = num_vertices) as it
@@ -215,6 +239,7 @@ class PoseGraph:
                 break
         return out
 
+    @_locked
     def find_possible_loop_closure(self, scan_id: int, barycenters: np.ndarray,
                                    start_id: int) -> tuple[list[int], int]:
         """FindPossibleLoopClosure (range_scan_pose_graph.cpp:357-392):
@@ -250,6 +275,7 @@ class PoseGraph:
             pos = b + 1
         return [], n
 
+    @_locked
     def find_all_loop_candidates(self, scan_id: int, barycenters: np.ndarray
                                  ) -> list[list[int]]:
         """All candidate loop chains for a scan in one pass (the batched
@@ -273,6 +299,7 @@ class PoseGraph:
         d2 = np.sum((barycenters[ids, :2] - c[None]) ** 2, axis=1)
         return int(ids[np.argmin(d2)])
 
+    @_locked
     def as_solver_data(self, poses: np.ndarray, pad_n: int | None = None,
                        pad_e: int | None = None):
         """Pack graph into padded PoseGraphData for the SPA solver."""

@@ -61,12 +61,10 @@ class BackendSpec:
         )
 
 
-@partial(jax.jit, static_argnames=("fspec", "bspec"),
-         donate_argnums=(2, 8, 9, 10, 11))
-def fused_frontend_chain_step(fspec, bspec: BackendSpec, state,
-                              points, mask, n_valid, last_odom, cur_odom,
-                              all_points, all_masks, all_n_valid, all_poses,
-                              chain_ids, store_slot):
+def _fused_frontend_chain_impl(fspec, bspec: BackendSpec, state,
+                               points, mask, n_valid, cur_odom,
+                               all_points, all_masks, all_n_valid, all_poses,
+                               chain_ids, store_slot):
     """The front-end step, its LinkNearChains/TryCloseLoop-coarse
     chain-match batch, AND the device-store append in ONE device dispatch.
     The reference runs all of this inside one address space
@@ -80,27 +78,41 @@ def fused_frontend_chain_step(fspec, bspec: BackendSpec, state,
     the results are exactly what the separate chain_match_batch_gather
     dispatch would produce (the engine verifies and falls back otherwise).
 
-    The store buffers are DONATED and returned with this scan written at
-    ``store_slot`` (their current append cursor): the write is
-    unconditional — if the gate rejects the scan the host simply does not
-    advance the cursor, so the slot is dead until the next accepted scan
-    overwrites it. Chain gathers only read ids < store_slot, so the append
-    never feeds back into this dispatch."""
+    Returns (state, packed, new_store) where ``packed`` is ONE
+    (15 + B·13,) f32 vector: the (15,) step summary followed by each
+    chain row's pose(3) + score(1) + cov(9). One vector = one host fetch
+    per scan INCLUDING fused-step scans (round 4 paid a second ~30 ms
+    tunnel round-trip for the chain tuple on every fused scan).
+
+    The store buffers are DONATED (sync pipeline; the async variant below
+    copies) and returned with this scan written at ``store_slot`` (their
+    current append cursor): the write is unconditional — if the gate
+    rejects the scan the host simply does not advance the cursor, so the
+    slot is dead until the next accepted scan overwrites it. Chain gathers
+    only read ids < store_slot, so the append never feeds back into this
+    dispatch."""
     from ..frontend.processor import frontend_step, pack_step_summary
 
     state, info = frontend_step(fspec, state, points, mask, n_valid,
-                                last_odom, cur_odom)
+                                cur_odom)
     ids = jnp.maximum(chain_ids, 0)
     valid = chain_ids >= 0                              # (B, K)
     cp = all_points[ids]
     cm = all_masks[ids] & valid[..., None]
     cpo = all_poses[ids]
-    out = jax.vmap(
+    bpose, bscore, bcov = jax.vmap(
         lambda p_, m_, po_, v_: chain_match(
             bspec, p_, m_, po_, v_, points, mask, n_valid,
             info.pose, info.pose,
             state.pub.hits, state.pub.passes, state.pub.offset)
     )(cp, cm, cpo, valid)
+    packed = jnp.concatenate([
+        pack_step_summary(info),
+        jnp.concatenate([bpose.astype(jnp.float32),
+                         bscore[:, None].astype(jnp.float32),
+                         bcov.reshape(-1, 9).astype(jnp.float32)],
+                        axis=1).reshape(-1),
+    ])
     new_store = (
         jax.lax.dynamic_update_index_in_dim(all_points, points,
                                             store_slot, 0),
@@ -109,7 +121,21 @@ def fused_frontend_chain_step(fspec, bspec: BackendSpec, state,
         jax.lax.dynamic_update_index_in_dim(all_poses, info.pose,
                                             store_slot, 0),
     )
-    return state, pack_step_summary(info), out, new_store
+    return state, packed, new_store
+
+
+fused_frontend_chain_step = jax.jit(
+    _fused_frontend_chain_impl, static_argnames=("fspec", "bspec"),
+    donate_argnums=(2, 7, 8, 9, 10))
+# async-pipeline variant: the back-end worker thread can concurrently
+# dispatch reads of the SAME store buffers (chain_match_batch_gather), so
+# donating them would let XLA reuse memory a live dispatch still reads —
+# only the state (frontend-thread-owned, lock-protected) is donated. The
+# un-donated append copies the (cap, P, 2) buffers on device (~10 MB,
+# ~15 us) — invisible next to the ~30 ms fetch it rides behind.
+fused_frontend_chain_step_nodonate = jax.jit(
+    _fused_frontend_chain_impl, static_argnames=("fspec", "bspec"),
+    donate_argnums=(2,))
 
 
 @partial(jax.jit, static_argnames=("spec",))

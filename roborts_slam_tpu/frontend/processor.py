@@ -72,6 +72,11 @@ class FrontendState(NamedTuple):
     last_map_update_pose: jnp.ndarray  # (3,)
     map_penalize_times: jnp.ndarray   # () int32
     scan_index: jnp.ndarray           # () int32 = current_data_index
+    # odometry of the last KEPT scan, carried ON DEVICE so a step's
+    # prediction never depends on the previous step's fetched result —
+    # the prerequisite for the double-buffered fetch pipeline (the host
+    # used to supply this, forcing a blocking summary fetch per scan)
+    last_kept_odom: jnp.ndarray       # (3,)
 
 
 class StepInfo(NamedTuple):
@@ -119,23 +124,26 @@ def init_frontend_state(spec: FrontendSpec) -> FrontendState:
         last_map_update_pose=jnp.full((3,), 3.4e38, jnp.float32),
         map_penalize_times=jnp.int32(0),
         scan_index=jnp.int32(0),
+        last_kept_odom=jnp.zeros(3, jnp.float32),
     )
 
 
 def frontend_step(spec: FrontendSpec, state: FrontendState,
-                  points, mask, n_valid, last_odom, cur_odom
+                  points, mask, n_valid, cur_odom
                   ) -> tuple[FrontendState, StepInfo]:
     """One scan through the front end (slam_processor.cpp:65-247), matching
-    against the accumulated scan-match maps (the reference's default path)."""
+    against the accumulated scan-match maps (the reference's default path).
+    The last-kept odometry lives in ``state`` (device-resident), so steps
+    chain without any host round-trip between them."""
     return _frontend_core(
         spec, state,
         spec.fine_spec, state.fine, spec.coarse_spec, state.coarse,
-        points, mask, n_valid, last_odom, cur_odom)
+        points, mask, n_valid, cur_odom)
 
 
 def frontend_step_windowed(spec: FrontendSpec, state: FrontendState,
                            win_points, win_masks, win_poses, win_valid,
-                           points, mask, n_valid, last_odom, cur_odom
+                           points, mask, n_valid, cur_odom
                            ) -> tuple[FrontendState, StepInfo]:
     """Windowed variant (use_running_range_scan_match): the match maps are
     rebuilt from the running-range window scans, recentered on the odometry
@@ -148,6 +156,8 @@ def frontend_step_windowed(spec: FrontendSpec, state: FrontendState,
 
     cfg = spec.config
     if cfg.use_odometry:
+        last_odom = jnp.where(state.scan_index == 0, cur_odom,
+                              state.last_kept_odom)
         predict = predict_pose_by_odom(state.pose, last_odom, cur_odom)
     else:
         predict = state.pose
@@ -170,13 +180,13 @@ def frontend_step_windowed(spec: FrontendSpec, state: FrontendState,
     return _frontend_core(
         spec, state,
         spec.window_fine_spec, wfine, spec.window_coarse_spec, wcoarse,
-        points, mask, n_valid, last_odom, cur_odom)
+        points, mask, n_valid, cur_odom)
 
 
 def _frontend_core(spec: FrontendSpec, state: FrontendState,
                    match_fine_spec: ProbMapSpec, match_fine: ProbMap,
                    match_coarse_spec: ProbMapSpec, match_coarse: ProbMap,
-                   points, mask, n_valid, last_odom, cur_odom
+                   points, mask, n_valid, cur_odom
                    ) -> tuple[FrontendState, StepInfo]:
     """Shared front-end step: predict → match (against the given maps) →
     penalty → gates → persistent map updates."""
@@ -185,6 +195,9 @@ def _frontend_core(spec: FrontendSpec, state: FrontendState,
 
     # --- predict (slam_processor.cpp:122-126) ---
     if cfg.use_odometry:
+        # first scan: no kept odom yet -> zero delta (the engine's host
+        # fallback ``last_odom = odom`` reproduced in-program)
+        last_odom = jnp.where(is_first, cur_odom, state.last_kept_odom)
         predict = predict_pose_by_odom(state.pose, last_odom, cur_odom)
     else:
         predict = state.pose
@@ -257,6 +270,10 @@ def _frontend_core(spec: FrontendSpec, state: FrontendState,
         last_map_update_pose=jnp.where(gate, pose, state.last_map_update_pose),
         map_penalize_times=jnp.where(is_first, 0, pen_times).astype(jnp.int32),
         scan_index=state.scan_index + gate.astype(jnp.int32),
+        # the engine keeps a scan (and its odom) iff the map-update gate
+        # passed (engine reads summary[12] = map_updated as "accepted")
+        last_kept_odom=jnp.where(gate, cur_odom.astype(jnp.float32),
+                                 state.last_kept_odom),
     )
     info = StepInfo(pose=pose, score=score, cov=out.cov, map_updated=gate,
                     pose_accepted=accept | is_first)

@@ -133,6 +133,12 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
         last_map_update_pose=jnp.asarray(z["state_last_map_update_pose"]),
         map_penalize_times=jnp.asarray(z["state_map_penalize_times"]),
         scan_index=jnp.asarray(z["state_scan_index"]),
+        # the device-resident last-kept odometry mirrors the engine's host
+        # copy (older checkpoints lack it; nan = no kept scan yet, covered
+        # by the in-step is_first fallback)
+        last_kept_odom=jnp.asarray(
+            np.where(np.isnan(z["last_kept_odom"]), 0.0, z["last_kept_odom"]),
+            dtype=jnp.float32),
     )
     st._pub_arrays = (engine.fspec.pub_spec,
                       engine.state.pub.hits, engine.state.pub.passes,

@@ -342,14 +342,346 @@ def accumulate_windows(starts, codes, tiles, rows: int, zero_code: int,
     )(starts, codes, tiles)
 
 
+# ---- kernel v2: same-r lane-paired windows (bf16) ----
+#
+# Round-5 rework of the accumulation loop, from the round-4 roofline
+# diagnosis (3% of VPU peak, per-window cost ~29 ns = ~27 vector µops of
+# issue): the v1 pipeline spends most of its issue slots on the f32
+# convert, the f32 SUBLANE roll, and a 128-lane add — all per sample, all
+# on tiles where at most half the lanes are useful. v2 shares those three
+# ops between TWO samples:
+#
+# Samples are sorted per angle by (tile, row misalignment r = by & 7) and
+# each (tile, r) group is padded to EVEN length with zero-block slots, so
+# consecutive PAIRS always share r. Per pair, both members' aligned loads
+# are lane-rolled in the bitcast-i32 view (the v1 trick) with the second
+# window placed at lane 64 (window lane-span ≤ 64), merged with one
+# select — then ONE bf16→f32 convert, ONE f32 sublane roll (legal
+# aligned shapes; the shared r makes it exact for both), and ONE
+# accumulate serve both windows. The candidate lattice of the second half
+# is sliced from lanes [64, 64+span) and added to the first half's.
+#
+# The prelude builds the even-padded order with lax.sort (which carries
+# the codes with the key) + one tiny (A, S') take_along_axis — measured
+# ~2-8 µs total for (30, 208).
+#
+# Two DEAD ENDS measured on v5e (scripts/exp_v2.py, 2026-08-21) — do not
+# revisit without re-measuring:
+# - u8 slab (half the volume, exact integer sums): 59.5 ns/window
+#   unpaired vs v1's 25.9 — the u8→i32 widen lowers through (32, 128)-
+#   tile relayouts costing ~45 ns/window on their own.
+# - r-bucketed segment loops (8 or 2 fori segments per angle hoisting the
+#   sublane roll): 44-63 ns/window — small per-segment trip counts
+#   collapse the loop's ILP, and Mosaic rejects dynamic sublane rotates
+#   on the (R/2, 128) packed view ("unsupported unaligned shape") so the
+#   roll cannot be hoisted in the packed domain anyway.
+
+#
+# ROUND-5 VERDICT on all of this (6 controlled A/B runs, scripts/exp_v2.py,
+# same-chip same-run pairs): v2 ≈ v1 within run-to-run noise (geometric
+# mean ratio 1.00; individual runs ±15%). The decisive probe: a kernel
+# with a CONSTANT code — zero SMEM reads, zero decode, STATIC load
+# addresses, same loads/rolls/convert/add — still measures 22.5 ns/window
+# (v1: 22-28 across runs). The per-window floor is therefore the VECTOR
+# pipeline itself (~20-25 issue slots for the (R, 256)-tile load + lane
+# roll + convert + sublane roll + add), which pairing only partially
+# shares; neither scalar-work elimination nor op-sharing moves it. v1
+# stays the default (battle-tested, same speed); v2 is selectable with
+# ROBORTS_CORR_KERNEL=2 and parity-tested. Closing the remaining gap to
+# the analytic ~6 µs speed-of-light needs a different FORMULATION, not a
+# better loop body — and the measured candidates (u8, MXU selection
+# matmuls, r-bucket segments) are all recorded dead ends above/below.
+
+_V2_ENV = "ROBORTS_CORR_KERNEL"
+
+
+def kernel_version() -> int:
+    import os
+
+    try:
+        return int(os.environ.get(_V2_ENV, "1"))
+    except ValueError:
+        return 1
+
+
+def _correlation_kernel_v2(starts_ref, codes_ref, slab_ref, out_ref,
+                           *, rows: int, zero_code: int, n_angles: int,
+                           pack_pairs: bool, single_segment: bool):
+    """v2 accumulation (see the design block above): one loop per angle
+    over same-r PAIRS of windows; each pair shares the bf16→f32 convert,
+    the f32 sublane roll, and the accumulate.
+
+    starts: int32 (T+1, A) — codes[a, starts[t,a]:starts[t+1,a]] is tile
+            t's (even-length) segment for angle a.
+    codes:  int32 (A, S') = by · 4096 + bx (tile-local; deint-mapped rows
+            for deinterleaved slabs), sorted by (tile, r = by & 7) with
+            each (tile, r) group padded to even length by ``zero_code``
+            slots (they decode into the zero block).
+    slab:   bf16 (1, SLAB_ROWS, SLAB_COLS) — this tile's map crop.
+    out:    f32 (1, A, rows, 128) — window sums; when pack_pairs, lanes
+            [64, 64+span) hold the second half's sums (the caller adds
+            the two lattice slices).
+    """
+    t = pl.program_id(0)
+    R = rows + 8
+
+    def lane_rolled(code, extra_lanes: int):
+        """Aligned bf16 load + lane roll placing the window at lane
+        ``extra_lanes``; returns the (R/2, 128) i32 packed view (sublane
+        pairs packed by the 16→32-bit bitcast; lanes unpacked, so the
+        lane roll is exact for any shift — the v1 finding). The window
+        still sits at sublane offset r = (code >> 12) & 7."""
+        by = code >> 12
+        bx = code & 4095
+        rl = bx & 127
+        bx_al = pl.multiple_of(bx - rl, 128)
+        r = by & 7
+        by_al = pl.multiple_of(by - r, 8)
+        tile = slab_ref[0, pl.ds(by_al, R), pl.ds(bx_al, 256)]
+        ti = pltpu.bitcast(tile, jnp.int32)              # (R/2, 256)
+        ti = pltpu.roll(ti, (256 - rl + extra_lanes) % 256, axis=1)
+        return ti[:, :128]
+
+    def to_f32(packed):
+        """(R/2, 128) i32 packed bf16 pairs -> (R, 128) f32."""
+        return pltpu.bitcast(packed, jnp.bfloat16).astype(jnp.float32)
+
+    def angle_body(a, carry):
+        start = starts_ref[t, a]
+        end = starts_ref[t + 1, a]
+        cnt = end - start
+
+        if single_segment:
+            # T == 1: slots beyond ``end`` (group padding, the loop-tail
+            # pad) already carry zero_code by construction — skip the
+            # per-sample bounds check (v1's single_segment optimization)
+            def get(i):
+                return codes_ref[a, i]
+        else:
+            def get(i):
+                # slots past the segment end belong to other tiles — zero
+                return jnp.where(i < end, codes_ref[a, i], zero_code)
+
+        # 4 independent accumulator chains (8 windows in flight per
+        # iteration): the per-window load→roll→convert→roll chain is
+        # ~100+ cycles of latency — a 2-chain variant measured
+        # latency-bound at 62 ns/window vs v1's 27 (exp_v2, 2026-08-21);
+        # deep ILP is what hides it, exactly as in v1.
+        zero = jnp.zeros((R, 128), jnp.float32)
+        if pack_pairs:
+            lo64 = jax.lax.broadcasted_iota(jnp.int32, (R // 2, 128), 1) < 64
+
+            def pair(i):
+                """Two same-r windows through ONE convert + sublane roll +
+                accumulate (the prelude pads each (tile, r) group to even
+                length, so pairs never straddle groups)."""
+                c0 = get(i)
+                m = jnp.where(lo64, lane_rolled(c0, 0),
+                              lane_rolled(get(i + 1), 64))
+                r = (c0 >> 12) & 7
+                return pltpu.roll(to_f32(m), R - r, axis=0)
+
+            def body(p, accs):
+                a0, a1, a2, a3 = accs
+                base = start + 16 * p
+                return (a0 + (pair(base) + pair(base + 2)),
+                        a1 + (pair(base + 4) + pair(base + 6)),
+                        a2 + (pair(base + 8) + pair(base + 10)),
+                        a3 + (pair(base + 12) + pair(base + 14)))
+
+            accs = jax.lax.fori_loop(
+                0, (cnt + 15) // 16, body, (zero, zero, zero, zero))
+            a0, a1, a2, a3 = accs
+            out_ref[0, a] = ((a0 + a1) + (a2 + a3))[:rows]
+            return carry
+
+        def one(i):
+            c = get(i)
+            r = (c >> 12) & 7
+            return pltpu.roll(to_f32(lane_rolled(c, 0)), R - r, axis=0)
+
+        def body(p, accs):
+            a0, a1, a2, a3 = accs
+            base = start + 4 * p
+            return (a0 + one(base), a1 + one(base + 1),
+                    a2 + one(base + 2), a3 + one(base + 3))
+
+        accs = jax.lax.fori_loop(
+            0, (cnt + 3) // 4, body, (zero, zero, zero, zero))
+        a0, a1, a2, a3 = accs
+        out_ref[0, a] = ((a0 + a1) + (a2 + a3))[:rows]
+        return carry
+
+    jax.lax.fori_loop(0, n_angles, angle_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "zero_code",
+                                             "pack_pairs", "interpret"))
+def accumulate_windows_v2(starts, codes, tiles, rows: int, zero_code: int,
+                          pack_pairs: bool, interpret: bool = False):
+    """(T+1, A) segment bounds + (A, S') group-padded sorted codes +
+    (T, R, C) bf16 slab -> (T, A, rows, 128) f32 window sums."""
+    T, slab_rows, slab_cols = tiles.shape
+    A = codes.shape[0]
+    assert (zero_code >> 12) + rows + 16 <= slab_rows, (
+        "zero block does not cover the window depth")
+    kernel = functools.partial(_correlation_kernel_v2, rows=rows,
+                               zero_code=zero_code, n_angles=A,
+                               pack_pairs=pack_pairs,
+                               single_segment=(T == 1))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, slab_rows, slab_cols),
+                               lambda t, starts, codes: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, A, rows, 128),
+                               lambda t, starts, codes: (t, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, A, rows, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(starts, codes, tiles)
+
+
+def score_candidates_pallas_v2(spec, params, probs, offset, points, mask,
+                               n_valid, center_pose_map,
+                               interpret: bool | None = None,
+                               slab_cache=None):
+    """v2 scoring path (see the design block above); identical outputs to
+    score_candidates up to bf16 map quantization (same envelope as v1)."""
+    from ..correlative import _sample_indices
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    A, N = params.n_angles, params.n_space
+    inv_res = spec.inv_res
+    st = params.search_space_resolution * inv_res
+    st_i = int(round(st))
+    assert abs(st - st_i) < 1e-6 and st_i >= 1, (
+        f"pallas path requires integer candidate step, got {st}")
+    span = st_i * (N - 1) + 1
+    deint = st_i >= 3
+    rows = _window_rows(N) if deint else _window_rows(span)
+    assert rows <= MAX_WINDOW_ROWS and span <= 128, (
+        f"window geometry (span={span}, rows={rows}) exceeds the slab pads; "
+        "use the XLA path for this tier")
+    pack_pairs = span <= 64
+
+    ty, tx, crop = plan_tiles(spec)
+    T = ty * tx
+
+    base_angle = center_pose_map[2]
+    start_angle = base_angle - params.search_angle_offset
+    angles = (start_angle
+              + jnp.arange(A, dtype=jnp.float32) * params.search_angle_resolution)
+
+    sidx, svalid, divisor = _sample_indices(n_valid, params.use_point_size,
+                                            params.max_samples)
+    pts = points[sidx] * inv_res
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    rx = c[:, None] * pts[None, :, 0] - s[:, None] * pts[None, :, 1]
+    ry = s[:, None] * pts[None, :, 0] + c[:, None] * pts[None, :, 1]
+
+    x0 = center_pose_map[0] - (params.search_space_size * inv_res) * 0.5
+    y0 = center_pose_map[1] - (params.search_space_size * inv_res) * 0.5
+
+    if slab_cache is not None:
+        tiles, oy, ox = slab_cache
+        assert tiles.shape[0] == T, (
+            f"slab cache built for {tiles.shape[0]} tiles, spec plans {T}")
+    else:
+        oy = _clamped_origin(center_pose_map[1], ty, crop, spec.height)
+        ox = _clamped_origin(center_pose_map[0], tx, crop, spec.width)
+        tiles = make_slab_tiles(probs, oy, ox, ty, tx, crop,
+                                spec.default_prob)
+
+    by = jnp.floor(ry + y0 + 0.5).astype(jnp.int32) - oy
+    bx = jnp.floor(rx + x0 + 0.5).astype(jnp.int32) - ox
+    oob = (by < 0) | (by >= ty * crop) | (bx < 0) | (bx >= tx * crop)
+    in_cov = (~oob) & svalid[None, :]
+    n_default = jnp.sum(oob & svalid[None, :], axis=1).astype(jnp.float32)
+
+    tyi = jnp.clip(by // crop, 0, ty - 1)
+    txi = jnp.clip(bx // crop, 0, tx - 1)
+    lby = by - tyi * crop
+    lbx = bx - txi * crop
+    if deint:
+        P_h = _deint_plane_height(st_i, N, crop)
+        tiles = make_deinterleaved_tiles(tiles, st_i, N, spec.default_prob,
+                                         crop)
+        lby = (lby % st_i) * P_h + lby // st_i
+        zero_code = _deint_total_rows(st_i, N, crop) * 4096
+    else:
+        zero_code = (crop + ROW_PAD) * 4096
+
+    codes = jnp.where(in_cov, lby * 4096 + lbx, zero_code).astype(jnp.int32)
+    # sort by (tile, r): lax.sort carries the codes with the key, then each
+    # (tile, r) group is padded to EVEN length so kernel pairs never
+    # straddle groups (same-r pairs share the sublane roll). Invalid /
+    # out-of-coverage slots sort to the tail (key 8T) and never enter a
+    # segment.
+    tid = jnp.where(in_cov, tyi * tx + txi, T).astype(jnp.int32)
+    G = 8 * T
+    key = jnp.where(in_cov, tid * 8 + (lby & 7), G).astype(jnp.int32)
+    # even-pad WITHOUT any gather: count each group, then append one pad
+    # slot PER GROUP carrying the group's key iff its count is odd (key G
+    # otherwise, sorting to the tail) — the stable sort places appended
+    # pads at their group's END, so every (tile, r) group comes out even.
+    cnts = jnp.sum(key[:, None, :] == jnp.arange(G)[None, :, None],
+                   axis=2).astype(jnp.int32)                       # (A, G)
+    gids = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None], cnts.shape)
+    pad_keys = jnp.where((cnts & 1) == 1, gids, G)
+    key_all = jnp.concatenate([key, pad_keys], axis=1)
+    codes_all = jnp.concatenate(
+        [codes, jnp.full_like(pad_keys, zero_code)], axis=1)
+    key_s, codes_p = jax.lax.sort((key_all, codes_all), dimension=1,
+                                  num_keys=1)
+    pad_cnts = cnts + (cnts & 1)
+    pstart = jnp.cumsum(pad_cnts, axis=1) - pad_cnts               # (A, G)
+    pend_tot = pstart[:, -1] + pad_cnts[:, -1]                     # (A,)
+    # per-tile padded segment bounds, (T+1, A)
+    tile_starts = pstart[:, ::8].T                                 # (T, A)
+    starts = jnp.concatenate([tile_starts,
+                              pend_tot[None, :]], axis=0).astype(jnp.int32)
+    # pad so the unrolled pair loop's tail reads stay in bounds
+    codes_p = jnp.pad(codes_p, ((0, 0), (0, 32)), constant_values=zero_code)
+
+    acc = accumulate_windows_v2(starts, codes_p, tiles, rows=rows,
+                                zero_code=zero_code, pack_pairs=pack_pairs,
+                                interpret=interpret)
+    acc = jnp.sum(acc, axis=0) if T > 1 else acc[0]
+    if deint:
+        lattice = acc[:, 0:N, 0:span:st_i]              # (A, N, N) [ky, kx]
+        if pack_pairs:
+            lattice = lattice + acc[:, 0:N, 64:64 + span:st_i]
+    else:
+        lattice = acc[:, 0:span:st_i, 0:span:st_i]
+        if pack_pairs:
+            lattice = lattice + acc[:, 0:span:st_i, 64:64 + span:st_i]
+    lattice = lattice + n_default[:, None, None] * spec.default_prob
+    scores = jnp.swapaxes(lattice, 1, 2) / divisor       # -> (A, kx, ky)
+
+    space_step = params.search_space_resolution * inv_res
+    xs = x0 + jnp.arange(N, dtype=jnp.float32) * space_step
+    ys = y0 + jnp.arange(N, dtype=jnp.float32) * space_step
+    return scores, angles, xs, ys
+
+
 def build_slab_cache(spec, probs, offset, pose_world):
     """Precompute the slab tiles once per match: the crop depends only on
     (map, search center), not on tier params, so the 3-tier facade shares
     one tile stack instead of re-cropping ~10 MB per tier. Returns
-    (tiles, oy, ox). The static tile plan derives from the spec alone
-    (plan_tiles), so every tier agrees on the geometry. Inter-tier pose
-    refinement moves the search center by well under the coverage margin
-    the spec builders add (≈2 m)."""
+    (tiles, oy, ox). The static tile plan derives from the
+    spec alone (plan_tiles), so every tier agrees on the geometry.
+    Inter-tier pose refinement moves the search center by well under the
+    coverage margin the spec builders add (≈2 m)."""
     from ..correlative import world_to_map_pose
 
     ty, tx, crop = plan_tiles(spec)
@@ -367,9 +699,14 @@ def score_candidates_pallas(spec, params, probs, offset, points, mask,
     candidate step is an integer number of map cells.
 
     Returns (scores (A, N, N), angles (A,), xs (N,), ys (N,)) with identical
-    semantics (up to bf16 map quantization). ``slab_cache`` (from
-    build_slab_cache) skips the per-tier map crop.
+    semantics (up to bf16/u8 map quantization). ``slab_cache`` (from
+    build_slab_cache) skips the per-tier map crop. Dispatches to the v2
+    (u8, r-bucketed, lane-paired) kernel unless ROBORTS_CORR_KERNEL=1.
     """
+    if kernel_version() >= 2:
+        return score_candidates_pallas_v2(
+            spec, params, probs, offset, points, mask, n_valid,
+            center_pose_map, interpret=interpret, slab_cache=slab_cache)
     from ..correlative import _sample_indices
 
     if interpret is None:

@@ -66,6 +66,53 @@ def make_batched_chain_matcher(spec_coarse: ProbMapSpec, spec_fine: ProbMapSpec,
     return jax.jit(vf, in_shardings=in_sh, out_shardings=out_sh)
 
 
+def make_sharded_chain_matcher_gather(spec, mesh: Mesh, axis: str = "data"):
+    """Sharded twin of ``backend.processor.chain_match_batch_gather``: the
+    (B, K) chain-id matrix, per-chain init poses, and the outputs are
+    sharded across ``axis``; the store's device-resident scan buffers and
+    the pub map are replicated. GSPMD then partitions the vmap over
+    chains, so EACH DEVICE materializes only B/n_devices chains' map-pair
+    temps — the per-chain coarse+fine rebuild is what OOM'd a single 16 G
+    chip at rm scale at B=4 (docs/PERFORMANCE.md); across a pod the same
+    batch runs with per-device memory ≈ the B=1 footprint (verified by
+    compiling against a real v5e 2x4 topology and reading the compiler's
+    per-device peak — scripts/sharded_capacity.py). There is no
+    cross-device communication until the (B, 3)/(B,)/(B, 3, 3) result
+    gather: the fan-out scales with device count at ~100% efficiency
+    (measured flat wall across virtual mesh sizes, PERFORMANCE.md).
+
+    ``spec``: a BackendSpec. Call with the same operands as
+    chain_match_batch_gather; B must be a multiple of the mesh axis size.
+
+    Ref workload: the LinkNearChains / TryCloseLoop chain fan-out,
+    range_scan_pose_graph.cpp:125-164.
+    """
+    from ..backend.processor import chain_match
+
+    def batched(all_points, all_masks, all_n_valid, all_poses,
+                chain_ids, scan_id, init_poses, center_pose,
+                pub_hits, pub_passes, pub_offset):
+        ids = jnp.maximum(chain_ids, 0)
+        valid = chain_ids >= 0                              # (B, K)
+        cp = all_points[ids]
+        cm = all_masks[ids] & valid[..., None]
+        cpo = all_poses[ids]
+        points = all_points[scan_id]
+        mask = all_masks[scan_id]
+        n_valid = all_n_valid[scan_id]
+        return jax.vmap(
+            lambda p_, m_, po_, v_, ip: chain_match(
+                spec, p_, m_, po_, v_, points, mask, n_valid, ip,
+                center_pose, pub_hits, pub_passes, pub_offset)
+        )(cp, cm, cpo, valid, init_poses)
+
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    in_sh = (rep, rep, rep, rep, shard, rep, shard, rep, rep, rep, rep)
+    return jax.jit(batched, in_shardings=in_sh,
+                   out_shardings=(shard, shard, shard))
+
+
 def make_batched_scan_matcher(spec_fine: ProbMapSpec, spec_coarse: ProbMapSpec,
                               matcher, mesh: Mesh | None = None,
                               axis: str = "data"):

@@ -179,3 +179,41 @@ def test_randomized_config_sweep():
                                    atol=1e-6, err_msg=f"trial {trial}")
         np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pal),
                                    atol=6e-3, err_msg=f"trial {trial}")
+
+
+def test_v2_pair_kernel_matches_xla():
+    """The v2 (same-r lane-paired) scoring path — selectable with
+    ROBORTS_CORR_KERNEL=2; measured speed-equal to v1 on v5e (see the
+    module design block) — must match the XLA scorer on every tier."""
+    from roborts_slam_tpu.models.grid_map import ProbMapSpec
+    from roborts_slam_tpu.ops import correlative as CR
+    from roborts_slam_tpu.ops.pallas.correlation import (
+        score_candidates_pallas_v2,
+    )
+
+    spec = ProbMapSpec(resolution=0.01, height=512, width=512,
+                       deviation=0.03, blur_offset=0.5)
+    rng = np.random.default_rng(5)
+    probs = jnp.asarray(rng.random((512, 512), np.float32))
+    P = 64
+    pts = rng.uniform(-2, 2, (P, 2)).astype(np.float32)
+    mask = np.ones(P, bool)
+    mask[50:] = False                  # exercise invalid-slot padding
+    center = jnp.array([256.0, 256.0, 0.1], jnp.float32)
+    tiers = [
+        CR.CorrelativeParams(0.6, 0.05, 0.523, 0.0349, 0.3, 20, True,
+                             CR.COARSE),
+        CR.CorrelativeParams(0.2, 0.02, 0.175, 0.0349, 0.3, 20, True,
+                             CR.FINE),
+        CR.CorrelativeParams(0.02, 0.01, 0.0349, 0.00349, 0.3, 20, True,
+                             CR.SUPER),
+    ]
+    for params in tiers:
+        s_ref, *_ = CR.score_candidates(
+            spec, params, probs, jnp.zeros(2), jnp.asarray(pts),
+            jnp.asarray(mask), jnp.int32(50), center)
+        s_v2, *_ = score_candidates_pallas_v2(
+            spec, params, probs, jnp.zeros(2), jnp.asarray(pts),
+            jnp.asarray(mask), jnp.int32(50), center, interpret=True)
+        np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_v2),
+                                   atol=5e-3)

@@ -93,3 +93,56 @@ def test_multihost_harness_cpu():
     assert len(pts) == 2
     assert pts[0].throughput > 0 and pts[1].throughput > 0
     assert pts[0].efficiency == 1.0
+
+
+def test_sharded_chain_matcher_gather_equality():
+    """The sharded store-gather chain matcher (VERDICT r4 #5: the
+    sharded-map capacity path) must reproduce the single-device
+    chain_match_batch_gather bit-for-bit on an 8-chain batch over the
+    8-device mesh — per-device memory is then B/8 chains' map temps (the
+    compiler-verified claim in scripts/sharded_capacity.py)."""
+    from roborts_slam_tpu.backend.processor import (
+        BackendSpec, chain_match_batch_gather,
+    )
+    from roborts_slam_tpu.config import load_config
+    from roborts_slam_tpu.models.grid_map import pub_map_spec
+    from roborts_slam_tpu.parallel.sharded_match import (
+        make_sharded_chain_matcher_gather,
+    )
+
+    cfg = load_config("/root/reference/config/simulatin_param.yaml")
+    cfg = cfg.replace(max_points=64, max_chain_scans=4,
+                      coarse_map_resolution=0.08, fine_map_resolution=0.04)
+    laser_range = 3.0
+    pub = pub_map_spec(cfg, laser_range, 10.0)
+    bspec = BackendSpec.from_config(cfg, laser_range, pub)
+
+    rng = np.random.default_rng(7)
+    cap, P, B, K = 32, cfg.max_points, 8, cfg.max_chain_scans
+    all_pts = jnp.asarray(rng.uniform(-2, 2, (cap, P, 2)).astype(np.float32))
+    all_msk = jnp.asarray(np.ones((cap, P), bool))
+    all_nv = jnp.asarray(np.full((cap,), P, np.int32))
+    all_poses = jnp.asarray(
+        rng.uniform(-1, 1, (cap, 3)).astype(np.float32))
+    ids = rng.integers(0, cap - 1, (B, K)).astype(np.int32)
+    ids[2, 2:] = -1                      # padded chain
+    inits = rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32)
+    center = jnp.asarray(np.array([0.1, -0.2, 0.3], np.float32))
+    pub_hits = jnp.zeros((pub.height, pub.width), jnp.float32)
+    pub_passes = jnp.zeros((pub.height, pub.width), jnp.float32)
+    pub_off = jnp.asarray(np.array([5.0, 5.0], np.float32))
+
+    single = chain_match_batch_gather(
+        bspec, all_pts, all_msk, all_nv, all_poses, jnp.asarray(ids),
+        jnp.int32(1), jnp.asarray(inits), center, pub_hits, pub_passes,
+        pub_off)
+
+    mesh = make_mesh(axis_name="data")
+    sharded_fn = make_sharded_chain_matcher_gather(bspec, mesh)
+    sharded = sharded_fn(all_pts, all_msk, all_nv, all_poses,
+                         jnp.asarray(ids), jnp.int32(1), jnp.asarray(inits),
+                         center, pub_hits, pub_passes, pub_off)
+
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

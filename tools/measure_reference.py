@@ -263,7 +263,7 @@ def measure_ours_tpu(scene: str, warm_scans: int = 40) -> dict:
                 # workload stays the per-kept-scan front-end cost
                 d = 1e-5 * (i + 1) + seed * 1e-7
                 st2, info = frontend_step(spec, st, pts, msk, nv,
-                                          odom, odom + d)
+                                          odom + d)
                 return st2
             out = jax.lax.fori_loop(0, K, body, state)
             return out.pose.sum() + out.scan_index
