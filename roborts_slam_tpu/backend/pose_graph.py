@@ -180,36 +180,49 @@ class PoseGraph:
                 chains.append(chain)
         return chains
 
-    def _with_hypothetical_vertex(self, fn):
-        """Run ``fn()`` with the NEXT vertex (id = num_vertices) and its
-        odometry edge to the predecessor temporarily present."""
-        new_id = self.num_vertices
-        prev = new_id - 1
-        self.adjacency.append({prev})
-        self.adjacency[prev].add(new_id)
+    def _with_hypothetical_vertex(self, fn, k: int = 1):
+        """Run ``fn()`` with the next ``k`` vertices (ids num_vertices ..
+        num_vertices+k-1) and their odometry chain edges temporarily
+        present. k > 1 serves the pipelined fetch: in-flight scans whose
+        acceptance is not yet known are assumed kept for chain
+        PRE-discovery (the consume-time set-equality check catches any
+        divergence)."""
+        base = self.num_vertices
+        for j in range(k):
+            new_id = base + j
+            prev = new_id - 1
+            self.adjacency.append({prev} if prev >= 0 else set())
+            if prev >= 0:
+                self.adjacency[prev].add(new_id)
         try:
             return fn()
         finally:
-            self.adjacency.pop()
-            self.adjacency[prev].discard(new_id)
+            for j in reversed(range(k)):
+                new_id = base + j
+                prev = new_id - 1
+                self.adjacency.pop()
+                if prev >= 0:
+                    self.adjacency[prev].discard(new_id)
 
     @_locked
     def find_all_loop_candidates_for_new(self, barycenters_with_new:
-                                         np.ndarray) -> list[list[int]]:
+                                         np.ndarray,
+                                         k: int = 1) -> list[list[int]]:
         """Loop-candidate discovery for the NEXT vertex (cf.
         find_near_chains_for_new): TryCloseLoop's first-round chain set as
         it will be discovered after this scan's UpdateGraph, from the
-        hypothetical barycenter row."""
-        new_id = self.num_vertices
+        hypothetical barycenter row. ``k``: total hypothetical vertices
+        (pending pipelined scans + the new one)."""
+        new_id = self.num_vertices + k - 1
         if new_id == 0:
             return []
         return self._with_hypothetical_vertex(
             lambda: self.find_all_loop_candidates(new_id,
-                                                  barycenters_with_new))
+                                                  barycenters_with_new), k)
 
     @_locked
-    def find_near_chains_for_new(self, barycenters_with_new: np.ndarray
-                                 ) -> list[list[int]]:
+    def find_near_chains_for_new(self, barycenters_with_new: np.ndarray,
+                                 k: int = 1) -> list[list[int]]:
         """Chain discovery for the NEXT vertex (id = num_vertices) as it
         *will* run inside UpdateGraph — vertex added and the odometry edge
         to its predecessor present (range_scan_pose_graph.cpp:44-78) — but
@@ -217,13 +230,14 @@ class PoseGraph:
         chain set before the frontend dispatch so the LinkNearChains match
         can ride in the same device program; the caller re-runs the real
         discovery afterwards and falls back if the sets differ.
-        ``barycenters_with_new``: (n+1, 3) — committed barycenters plus the
-        hypothetical new scan's row."""
-        new_id = self.num_vertices
+        ``barycenters_with_new``: (n+k, 3) — committed barycenters plus
+        one row per hypothetical vertex (``k``-1 pending pipelined scans,
+        then the new scan)."""
+        new_id = self.num_vertices + k - 1
         if new_id == 0:
             return []
         return self._with_hypothetical_vertex(
-            lambda: self.find_near_chains(new_id, barycenters_with_new))
+            lambda: self.find_near_chains(new_id, barycenters_with_new), k)
 
     @staticmethod
     def sparsify_chain(chain: list[int], limit: int = 10) -> list[int]:

@@ -138,6 +138,83 @@ fused_frontend_chain_step_nodonate = jax.jit(
     donate_argnums=(2,))
 
 
+def _fused_cursor_impl(fspec, bspec: BackendSpec, state,
+                       points, mask, n_valid, cur_odom,
+                       all_points, all_masks, all_n_valid, all_poses,
+                       chain_ids, cursor):
+    """Pipelined variant of the fused step: the store-append CURSOR lives
+    on device — the scan is written at ``cursor[0]`` and the cursor
+    advances iff the keep gate passed, so the NEXT dispatch can be issued
+    before this scan's summary is fetched (the double-buffered fetch
+    pipeline; acceptance is only known at reconcile time). Returns
+    (state, packed, new_store, new_cursor) with ``packed`` =
+    [15 summary][new cursor][B·13 chain rows]."""
+    from ..frontend.processor import frontend_step, pack_step_summary
+
+    state, info = frontend_step(fspec, state, points, mask, n_valid,
+                                cur_odom)
+    slot = cursor[0]
+    ids = jnp.maximum(chain_ids, 0)
+    valid = chain_ids >= 0
+    cp = all_points[ids]
+    cm = all_masks[ids] & valid[..., None]
+    cpo = all_poses[ids]
+    bpose, bscore, bcov = jax.vmap(
+        lambda p_, m_, po_, v_: chain_match(
+            bspec, p_, m_, po_, v_, points, mask, n_valid,
+            info.pose, info.pose,
+            state.pub.hits, state.pub.passes, state.pub.offset)
+    )(cp, cm, cpo, valid)
+    new_cursor = cursor + info.map_updated.astype(jnp.int32)
+    packed = jnp.concatenate([
+        pack_step_summary(info),
+        new_cursor.astype(jnp.float32),
+        jnp.concatenate([bpose.astype(jnp.float32),
+                         bscore[:, None].astype(jnp.float32),
+                         bcov.reshape(-1, 9).astype(jnp.float32)],
+                        axis=1).reshape(-1),
+    ])
+    new_store = (
+        jax.lax.dynamic_update_index_in_dim(all_points, points, slot, 0),
+        jax.lax.dynamic_update_index_in_dim(all_masks, mask, slot, 0),
+        all_n_valid.at[slot].set(n_valid),
+        jax.lax.dynamic_update_index_in_dim(all_poses, info.pose, slot, 0),
+    )
+    return state, packed, new_store, new_cursor
+
+
+fused_cursor_step = jax.jit(
+    _fused_cursor_impl, static_argnames=("fspec", "bspec"),
+    donate_argnums=(2, 7, 8, 9, 10, 12))
+
+
+def _step_append_cursor_impl(fspec, state, points, mask, n_valid, cur_odom,
+                             all_points, all_masks, all_n_valid, all_poses,
+                             cursor):
+    """Pipelined plain step (no chain batch): frontend step + device-store
+    append at the in-device cursor. Packed = [15 summary][new cursor]."""
+    from ..frontend.processor import frontend_step, pack_step_summary
+
+    state, info = frontend_step(fspec, state, points, mask, n_valid,
+                                cur_odom)
+    slot = cursor[0]
+    new_cursor = cursor + info.map_updated.astype(jnp.int32)
+    packed = jnp.concatenate([pack_step_summary(info),
+                              new_cursor.astype(jnp.float32)])
+    new_store = (
+        jax.lax.dynamic_update_index_in_dim(all_points, points, slot, 0),
+        jax.lax.dynamic_update_index_in_dim(all_masks, mask, slot, 0),
+        all_n_valid.at[slot].set(n_valid),
+        jax.lax.dynamic_update_index_in_dim(all_poses, info.pose, slot, 0),
+    )
+    return state, packed, new_store, new_cursor
+
+
+step_append_cursor = jax.jit(
+    _step_append_cursor_impl, static_argnames=("fspec",),
+    donate_argnums=(1, 6, 7, 8, 9, 10))
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def chain_match_batch_gather(spec: BackendSpec,
                              all_points, all_masks, all_n_valid, all_poses,

@@ -377,6 +377,16 @@ class ScanStore:
             if accepted:
                 self._dev_count += 1
 
+    def install_buffers(self, points, masks, n_valid, poses):
+        """Pipelined-fetch variant of absorb_fused_append: the append
+        CURSOR lives on device (acceptance unknown until reconcile), so
+        only the buffer handles rotate here; ``_dev_count`` syncs from the
+        fetched cursor at reconcile time."""
+        with self._lock:
+            self._dev = dict(points=points, masks=masks, n_valid=n_valid)
+            self._dev_poses = poses
+            self._dev_poses_stale = False
+
     def _device_arrays_locked(self, reserve: int = 0):
         """Device-resident (cap, ...) scan buffers, appended incrementally:
         ``(points, masks, n_valid, poses_f32, cap)``. Capacity doubles in
@@ -486,6 +496,7 @@ class SlamEngine:
         self._bounds_warned = False
         self.trajectory: list[tuple[float, np.ndarray]] = []  # (t, pose) per processed scan
         self._last_kept_odom: np.ndarray | None = None
+        self._move_ref_odom: np.ndarray | None = None
         self._last_process_time: float | None = None
         self._odom_history: list[tuple[float, np.ndarray]] = []
         # buffer donation reuses map arrays in place, but is only safe when
@@ -510,6 +521,18 @@ class SlamEngine:
         self.on_pose: "Callable[[float, np.ndarray], None] | None" = None
         self.on_map_snapshot: "Callable[[int, np.ndarray], None] | None" = None
         self.map_snapshot_every: int = 0      # 0 = disabled
+        # double-buffered fetch pipeline (VERDICT r4 #3): dispatch scan
+        # k+1..k+depth while scan k's summary fetch is in flight —
+        # measured: D in-flight tunnel fetches complete in ~ONE ~30 ms
+        # round-trip, not D (scripts/probe_fetch_overlap.py). Host
+        # bookkeeping (store append, graph update, gating mirrors)
+        # reconciles ``pipeline_depth`` scans behind; map-mutating events
+        # (growth, recenter, corrections, loop closures) drain first.
+        # Sync backend + non-windowed paths only; opt-in.
+        self.pipelined_fetch = False
+        self.pipeline_depth = 3
+        self._inflight: list[dict] = []
+        self._dev_cursor = None               # device (1,) i32 append cursor
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
@@ -525,16 +548,22 @@ class SlamEngine:
         cfg = self.config
         if not cfg.use_odometry or not cfg.use_move_check:
             return True
-        if self._last_kept_odom is None:
+        # pipelined mode: gate against the newest DISPATCHED scan's odom
+        # (optimistic — in-flight scans are assumed kept; comparing to the
+        # reconciled-but-stale last-kept odom would stop rejecting
+        # anything). _last_kept_odom itself stays paired with _host_pose
+        # for odometry prediction.
+        ref = (self._move_ref_odom if self._move_ref_odom is not None
+               else self._last_kept_odom)
+        if ref is None:
             return True
         if (self._last_process_time is not None
                 and t - self._last_process_time > cfg.move_time_threshold):
             return True
-        d = odom[:2] - self._last_kept_odom[:2]
+        d = odom[:2] - ref[:2]
         if np.hypot(d[0], d[1]) >= cfg.move_distance_threshold:
             return True
-        dth = np.arctan2(np.sin(odom[2] - self._last_kept_odom[2]),
-                         np.cos(odom[2] - self._last_kept_odom[2]))
+        dth = np.arctan2(np.sin(odom[2] - ref[2]), np.cos(odom[2] - ref[2]))
         return abs(dth) >= cfg.move_angle_threshold
 
     # ---- main entry ----
@@ -602,6 +631,11 @@ class SlamEngine:
 
         np_points = np.asarray(points)
         np_mask = np.asarray(mask)
+        if (self.pipelined_fetch and self.synchronous_backend
+                and not self.config.use_running_range_scan_match
+                and len(self.store) > 0):
+            return self._process_pipelined(np_points, np_mask, n_valid,
+                                           np.asarray(odom, np.float64), t)
         # grow the pub map BEFORE the stamp dispatch so this scan lands
         # unclipped (UpdateBound runs inside UpdateMapByRange in the
         # reference, grid_map_base.h:257-274); the predicted pose is within
@@ -688,6 +722,7 @@ class SlamEngine:
         else:
             self._check_world_bounds(pose)
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
+        self._move_ref_odom = self._last_kept_odom
         scan_id = self.store.add(np_points, np_mask, n_valid, pose, odom, t)
         self.trajectory.append((t, pose))
         self._update_map_to_odom(pose, np.asarray(odom, np.float64))
@@ -727,8 +762,193 @@ class SlamEngine:
             self._backend_queue.put((scan_id, cov, prematched))
         return True
 
+    # ---- double-buffered fetch pipeline (VERDICT r4 #3) ----
+
+    @staticmethod
+    def _bary_of_pose(pose: np.ndarray, np_points: np.ndarray,
+                      np_mask: np.ndarray) -> np.ndarray:
+        w = np_mask.astype(np.float64)
+        denom = max(w.sum(), 1.0)
+        cent = (np_points.astype(np.float64) * w[:, None]).sum(0) / denom
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        return np.array([pose[0] + c * cent[0] - s * cent[1],
+                         pose[1] + s * cent[0] + c * cent[1], pose[2]])
+
+    def _pub_growth_needed(self, bmin: np.ndarray, bmax: np.ndarray) -> bool:
+        spec = self.fspec.pub_spec
+        off = self._host_pub_off
+        extent = np.array([spec.width, spec.height]) * spec.resolution
+        return bool((np.asarray(bmin) + off < 0).any()
+                    or (np.asarray(bmax) + off > extent).any())
+
+    def _drain_pipeline(self):
+        """Reconcile every in-flight scan (map-mutating events and
+        output/readback surfaces call this first). Reentrant: each
+        reconcile pops its entry before processing, so nested drains from
+        inside a reconcile terminate."""
+        while self._inflight:
+            self._reconcile_one()
+
+    def _process_pipelined(self, np_points: np.ndarray, np_mask: np.ndarray,
+                           n_valid: int, odom: np.ndarray, t: float) -> bool:
+        """Dispatch this scan WITHOUT waiting for its summary: the fetch
+        rides behind the next ``pipeline_depth`` dispatches (they overlap
+        in the tunnel), and host bookkeeping reconciles that many scans
+        behind. The step's odometry prediction and the store-append cursor
+        live on device, so chained dispatches need nothing from the
+        pending fetches; growth/capacity events drain the pipeline first.
+        Returns True optimistically (acceptance is known at reconcile; the
+        kept-scan accounting is exact, only this return value is early).
+        """
+        from .backend.processor import fused_cursor_step, step_append_cursor
+
+        t0 = _time.perf_counter()
+        pred = self._predict_pose_host(odom)
+        # pub growth must precede the stamp; the pad absorbs match-vs-
+        # predict translation plus the extra odometry lag of the pipeline
+        bmin, bmax = self._scan_world_bbox(pred, np_points, np_mask)
+        pad = self._search_pad() + 0.25
+        if self._pub_growth_needed(bmin - pad, bmax + pad):
+            self._drain_pipeline()
+            self._grow_pub_to_bbox(bmin - pad, bmax + pad)
+        # device-store capacity: buffers must never re-upload mid-pipeline
+        # (the host rebuild would drop in-flight appends)
+        need = len(self.store) + len(self._inflight) + 2
+        if self.store._dev is None or need > self.store._dev_cap:
+            self._drain_pipeline()
+            self.store.device_arrays(reserve=self.pipeline_depth + 2)
+        fused_in = None
+        if self._fused_backend:
+            fused_in = self._prepare_fused(np_points, np_mask, odom,
+                                           pending=self._inflight)
+        if not self._inflight:
+            # (re)seed the device cursor whenever the pipeline is empty —
+            # self-heals across drains, growth, corrections
+            self._dev_cursor = jnp.asarray(
+                np.array([len(self.store)], np.int32))
+        d = self.store._dev
+        bufs = (d["points"], d["masks"], d["n_valid"],
+                self.store._dev_poses)
+        points, mask = jnp.asarray(np_points), jnp.asarray(np_mask)
+        with self._state_lock, self.timers.stage("frontend_step"):
+            if fused_in is not None:
+                (self.state, packed, new_store,
+                 self._dev_cursor) = fused_cursor_step(
+                    self.fspec, self.bspec, self.state, points, mask,
+                    jnp.int32(n_valid), jnp.asarray(odom, jnp.float32),
+                    *bufs, fused_in["ids"], self._dev_cursor)
+                self.diag.fused_steps += 1
+            else:
+                (self.state, packed, new_store,
+                 self._dev_cursor) = step_append_cursor(
+                    self.fspec, self.state, points, mask,
+                    jnp.int32(n_valid), jnp.asarray(odom, jnp.float32),
+                    *bufs, self._dev_cursor)
+        self.store.install_buffers(*new_store)
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — transfer overlap is best-effort
+            pass
+        self._move_ref_odom = np.asarray(odom, np.float64).copy()
+        self._inflight.append(dict(
+            packed=packed, fused_in=fused_in,
+            np_points=np_points.copy(), np_mask=np_mask.copy(),
+            n_valid=int(n_valid), odom=np.asarray(odom, np.float64).copy(),
+            t=float(t), bary=self._bary_of_pose(pred, np_points, np_mask)))
+        self.diag.match_time_s += _time.perf_counter() - t0
+        while len(self._inflight) > self.pipeline_depth:
+            self._reconcile_one()
+        return True
+
+    def _reconcile_one(self) -> bool:
+        """Complete the OLDEST in-flight scan: fetch its packed summary
+        (usually already arrived), commit store/trajectory/mirrors, run
+        the back-end graph update, and attempt loop closure (draining the
+        rest of the pipeline first when candidates exist, since a closure
+        rewrites every map)."""
+        e = self._inflight.pop(0)
+        with self.timers.stage("frontend_fetch"):
+            s = np.asarray(e["packed"]).astype(np.float64)
+        accepted = bool(s[12] > 0.5)
+        pose = s[:3].copy()
+        self._host_pose = pose.copy()
+        if not accepted:
+            self.diag.scans_dropped_gate += 1
+            return False
+        t0 = _time.perf_counter()
+        self.diag.scans_processed += 1
+        if self.config.match_map_window > 0:
+            fs = self.fspec.fine_spec
+            extent = np.array([fs.width, fs.height]) * fs.resolution
+            center_w = extent * 0.5 - self._host_fine_off
+            window = min(float(extent[0]), float(extent[1]))
+            if np.max(np.abs(pose[:2] - center_w)) > 0.25 * window:
+                self._drain_pipeline()     # recenter rebuilds the maps
+            self._maybe_recenter(pose)
+        else:
+            self._check_world_bounds(pose)
+        self._last_kept_odom = e["odom"].copy()
+        scan_id = self.store.add(e["np_points"], e["np_mask"], e["n_valid"],
+                                 pose, e["odom"], e["t"])
+        # the device append cursor advanced in-program; mirror it
+        self.store._dev_count = int(round(s[15]))
+        self.trajectory.append((e["t"], pose))
+        self._update_map_to_odom(pose, e["odom"])
+        if self.on_pose is not None:
+            self.on_pose(e["t"], pose.copy())
+        if (self.map_snapshot_every > 0 and self.on_map_snapshot is not None
+                and len(self.store) % self.map_snapshot_every == 0):
+            self._drain_pipeline()        # the rendered map must be current
+            self.on_map_snapshot(len(self.store), self.get_pub_map())
+        self.store._pub_arrays = (self.fspec.pub_spec,
+                                  self.state.pub.hits, self.state.pub.passes,
+                                  self.state.pub.offset)
+        # post-match clip safety net (rare): the rebuild needs the full
+        # store, so complete the pipeline before growing
+        bmin, bmax = self._scan_world_bbox(pose, e["np_points"], e["np_mask"])
+        if self._pub_growth_needed(bmin, bmax):
+            self._drain_pipeline()
+            self._grow_pub_to_bbox(bmin, bmax)
+            self.diag.pub_clip_rebuilds += 1
+            with self._state_lock:
+                self._rebuild_pub_locked()
+        cov = s[3:12].reshape(3, 3)
+        prematched = None
+        fused_in = e["fused_in"]
+        if fused_in is not None:
+            flat = s[16:].reshape(-1, 13)
+            rows = [(flat[i, :3].copy(), float(flat[i, 3]),
+                     flat[i, 4:13].reshape(3, 3).copy())
+                    for i in range(len(fused_in["near"])
+                                   + len(fused_in["loop"]))]
+            nn = len(fused_in["near"])
+            prematched = {
+                "near": ((fused_in["near"], rows[:nn])
+                         if fused_in["near"] else None),
+                "loop": ((fused_in["loop"], rows[nn:])
+                         if fused_in["loop"] else None),
+                "pose_version": fused_in["pose_version"],
+            }
+        pre = self._fresh_prematched(prematched)
+        with self.timers.stage("backend_update"):
+            self.backend.update_graph(scan_id, cov,
+                                      prematched=(pre or {}).get("near"))
+        # loop closure corrects every pose + rebuilds every map: only
+        # attempt when candidates actually exist, and finish the pipeline
+        # first. Candidates are a cheap vectorized barycenter query.
+        bary = self.store.barycenters()
+        if self.backend.graph.find_all_loop_candidates(scan_id, bary):
+            self._drain_pipeline()
+            pre = self._fresh_prematched(prematched)
+            with self.timers.stage("backend_loop_closure"):
+                self.backend.try_close_loop(
+                    scan_id, prematched=(pre or {}).get("loop"))
+        self.diag.loop_closures = self.backend.num_loop_closures
+        self.diag.backend_time_s += _time.perf_counter() - t0
+        return True
+
     def _prepare_fused(self, np_points: np.ndarray, np_mask: np.ndarray,
-                       odom: np.ndarray):
+                       odom: np.ndarray, pending: list | None = None):
         """Pre-discover the chain sets this scan's back-end pass will match
         — LinkNearChains' near chains AND TryCloseLoop's first-round loop
         candidates (both use the matched pose as init/center, so their
@@ -740,17 +960,19 @@ class SlamEngine:
         one dispatch may hold)."""
         cfg = self.config
         pred = self._predict_pose_host(odom)
-        w = np_mask.astype(np.float64)
-        denom = max(w.sum(), 1.0)
-        cent = (np_points.astype(np.float64) * w[:, None]).sum(0) / denom
-        c, s = np.cos(pred[2]), np.sin(pred[2])
-        newbary = np.array([pred[0] + c * cent[0] - s * cent[1],
-                            pred[1] + s * cent[0] + c * cent[1], pred[2]])
-        bary = np.concatenate([self.store.barycenters(), newbary[None]])
+        newbary = self._bary_of_pose(pred, np_points, np_mask)
+        # pipelined mode: in-flight scans enter discovery as hypothetical
+        # vertices at their predicted barycenters (assumed kept; the
+        # consume-time set-equality check falls back on any divergence)
+        pend = [e["bary"] for e in (pending or [])]
+        rows = ([self.store.barycenters()]
+                + ([np.asarray(pend)] if pend else []) + [newbary[None]])
+        bary = np.concatenate(rows)
+        k = len(pend) + 1
         graph = self.backend.graph
-        near = [ch for ch in graph.find_near_chains_for_new(bary)
+        near = [ch for ch in graph.find_near_chains_for_new(bary, k=k)
                 if len(ch) >= cfg.loop_match_min_chain_size]
-        loop = graph.find_all_loop_candidates_for_new(bary)
+        loop = graph.find_all_loop_candidates_for_new(bary, k=k)
         lim = self.backend.max_parallel_chains(fused=True)
         step = max((b for b in self.backend._BATCH_BUCKETS if b <= lim),
                    default=1)
@@ -1121,9 +1343,10 @@ class SlamEngine:
             self._backend_thread.start()
 
     def finish(self):
-        """Flush pending back-end work and join the worker (no-op in
-        synchronous mode). NOT terminal: further process() calls restart
-        the worker automatically."""
+        """Flush the fetch pipeline and pending back-end work; join the
+        async worker if one runs. NOT terminal: further process() calls
+        restart the worker automatically."""
+        self._drain_pipeline()
         if self._backend_thread is not None and self._backend_thread.is_alive():
             self._backend_queue.put(None)
             self._backend_thread.join()
@@ -1284,12 +1507,14 @@ class SlamEngine:
     def get_pub_map(self) -> np.ndarray:
         """Published occupancy grid: -1 unknown / 0 free / 100 occupied
         (PublishMapThread, roborts_slam_node.cpp:427-469)."""
+        self._drain_pipeline()
         cfg = self.config
         return np.asarray(count_map_states(self.state.pub,
                                            cfg.map_min_passthrough,
                                            cfg.map_occu_threshold))
 
     def force_graph_optimize(self):
+        self._drain_pipeline()
         self.backend.force_optimize()
 
     def warm_backend(self, solver_buckets: tuple[int, ...] = (64, 128, 256),
@@ -1311,6 +1536,7 @@ class SlamEngine:
         """
         if len(self.store) == 0:
             raise RuntimeError("warm_backend needs >= 1 processed scan")
+        self._drain_pipeline()
         from .backend.spa import solve_pose_graph
 
         def best_effort(fn, what):
@@ -1393,6 +1619,22 @@ class SlamEngine:
                 if b > step:
                     continue
                 best_effort(lambda b=b: warm_fused(b), f"fused bucket {b}")
+            if self.pipelined_fetch and self.synchronous_backend:
+                from .backend.processor import step_append_cursor
+
+                def warm_plain():
+                    all_pts, all_msk, all_nv, all_poses, _cap = \
+                        self.store.device_arrays(reserve=1)
+                    P = self.store.max_points
+                    step_append_cursor.lower(
+                        self.fspec, self.state,
+                        jnp.zeros((P, 2), jnp.float32),
+                        jnp.zeros((P,), bool), jnp.int32(0),
+                        jnp.zeros(3, jnp.float32),
+                        all_pts, all_msk, all_nv, all_poses,
+                        jnp.zeros((1,), jnp.int32)).compile()
+
+                best_effort(warm_plain, "pipelined plain step")
         # 2. SPA solver shape buckets. The live path buckets nodes and
         #    edges INDEPENDENTLY (as_solver_data), and edges normally
         #    outnumber vertices, so the common live shapes are

@@ -26,6 +26,7 @@ from ..models.scan import LaserModel
 
 def save_checkpoint(engine, path: str) -> None:
     """Serialize a SlamEngine (flushes the async back end first)."""
+    engine._drain_pipeline()   # pipelined mode: commit in-flight scans
     engine.finish()
     st = engine.store
     n = len(st)

@@ -595,3 +595,42 @@ def test_async_fused_carries_prematched(icra_log):
     # quality: same scene must still close loops / build links
     assert eng.backend.num_links >= 1
     assert np.isfinite(eng.trajectory_array()).all()
+
+
+def test_pipelined_fetch_matches_blocking(icra_log):
+    """The double-buffered fetch pipeline (round 5: dispatch k+1..k+D
+    while scan k's summary fetch is in flight) must reproduce the
+    blocking path: same kept scans, same trajectory, same graph — the
+    device-resident odometry/cursor make every dispatch independent of
+    the pending fetches, so only host bookkeeping lags."""
+    cfg = _small_config()
+    log = icra_log
+    n_feed = min(len(log), 160)
+    runs = {}
+    for pipelined in (False, True):
+        eng = SlamEngine(cfg, log.laser, synchronous_backend=True,
+                         fused_backend=True)
+        eng.pipelined_fetch = pipelined
+        eng.pipeline_depth = 3
+        for i in range(n_feed):
+            eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+        eng.finish()
+        assert not eng._inflight
+        runs[pipelined] = eng
+    e0, e1 = runs[False], runs[True]
+    assert len(e0.store) == len(e1.store), (len(e0.store), len(e1.store))
+    assert (e0.backend.num_links, e0.backend.num_loop_closures) == \
+        (e1.backend.num_links, e1.backend.num_loop_closures)
+    np.testing.assert_allclose(e1.trajectory_array(), e0.trajectory_array(),
+                               atol=1e-4)
+    # the device store mirror must agree with the host lists after the
+    # cursor-driven appends
+    n = len(e1.store)
+    pts, msk, nv, poses, _cap = e1.store.device_arrays()
+    np.testing.assert_array_equal(np.asarray(pts[:n]),
+                                  np.stack(e1.store._points))
+    np.testing.assert_allclose(np.asarray(poses[:n]),
+                               e1.store.poses_array().astype(np.float32),
+                               atol=1e-6)
+    # pub maps identical
+    np.testing.assert_array_equal(e0.get_pub_map(), e1.get_pub_map())

@@ -282,7 +282,8 @@ def measure_ours_tpu(scene: str, warm_scans: int = 40) -> dict:
 
 def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
                          max_wall_s: float = 300.0,
-                         synchronous: bool = True) -> dict:
+                         synchronous: bool = True,
+                         pipelined: bool = False) -> dict:
     """Sustained END-TO-END (front-end + back-end) wall-clock throughput on
     the real TPU — the system-level number beside the K-slope front-end
     device time (VERDICT r2 weak #4). Includes every host<->device dispatch
@@ -304,6 +305,8 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
         "ours-tpu-e2e must run on the TPU backend")
 
     engine, log = _engine_for_scene(scene, synchronous_backend=synchronous)
+    if pipelined:
+        engine.pipelined_fetch = True
     n = min(len(log), max_scans)
     warm = min(30, max(n // 4, 2))       # jit compiles amortize here
     t_start = time.time()
@@ -357,7 +360,8 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
                   + dispatch["separate_chain_batches"] + dispatch["solves"])
     return {
         "scene": scene,
-        "mode": "sync" if synchronous else "async",
+        "mode": ("pipelined" if pipelined
+                 else "sync" if synchronous else "async"),
         "method": "sustained wall-clock replay through the tunnel "
                   "(dispatch floor ~30-45 ms/call in this environment)",
         "scans_fed": fed - fed0,
@@ -500,6 +504,8 @@ def main() -> None:
     ap.add_argument("--scenes", nargs="*", default=["icra", "rm", "willow"])
     ap.add_argument("--realtime", type=float, default=0.0,
                     help="pace the reference replay at N x real time")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="ours-tpu-e2e: double-buffered fetch pipeline")
     ap.add_argument("--async-backend", action="store_true",
                     help="ours-tpu-e2e: pipeline the back end on a worker "
                          "thread (the reference's threading model)")
@@ -537,11 +543,13 @@ def main() -> None:
             print(json.dumps(res[f"ours_tpu/{scene}"], indent=2))
     elif args.mode == "ours-tpu-e2e":
         ensure_logs(args.scenes)
-        suffix = "_async" if args.async_backend else ""
+        suffix = ("_pipe" if args.pipelined
+                  else "_async" if args.async_backend else "")
         for scene in args.scenes:
             res[f"ours_tpu_e2e{suffix}/{scene}"] = measure_ours_tpu_e2e(
                 scene, max_scans=args.max_scans,
-                synchronous=not args.async_backend)
+                synchronous=not args.async_backend,
+                pipelined=args.pipelined)
             save_results(res)
             print(json.dumps(res[f"ours_tpu_e2e{suffix}/{scene}"], indent=2))
     else:
