@@ -156,15 +156,30 @@ def _fused_cursor_impl(fspec, bspec: BackendSpec, state,
     slot = cursor[0]
     ids = jnp.maximum(chain_ids, 0)
     valid = chain_ids >= 0
-    cp = all_points[ids]
-    cm = all_masks[ids] & valid[..., None]
-    cpo = all_poses[ids]
-    bpose, bscore, bcov = jax.vmap(
-        lambda p_, m_, po_, v_: chain_match(
-            bspec, p_, m_, po_, v_, points, mask, n_valid,
-            info.pose, info.pose,
-            state.pub.hits, state.pub.passes, state.pub.offset)
-    )(cp, cm, cpo, valid)
+    B = chain_ids.shape[0]
+
+    # the chain batch is conditional IN-PROGRAM: the pipeline dispatches
+    # this ONE executable for every scan (switching executables per scan
+    # measured catastrophically slow through the dispatch relay —
+    # scripts/probe_fetch_overlap.py --alt), and scans with no predicted
+    # chains skip the heavy branch on device.
+    def with_chains(_):
+        cp = all_points[ids]
+        cm = all_masks[ids] & valid[..., None]
+        cpo = all_poses[ids]
+        return jax.vmap(
+            lambda p_, m_, po_, v_: chain_match(
+                bspec, p_, m_, po_, v_, points, mask, n_valid,
+                info.pose, info.pose,
+                state.pub.hits, state.pub.passes, state.pub.offset)
+        )(cp, cm, cpo, valid)
+
+    def no_chains(_):
+        return (jnp.zeros((B, 3), jnp.float32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B, 3, 3), jnp.float32))
+
+    bpose, bscore, bcov = jax.lax.cond(jnp.any(valid), with_chains,
+                                       no_chains, None)
     new_cursor = cursor + info.map_updated.astype(jnp.int32)
     packed = jnp.concatenate([
         pack_step_summary(info),

@@ -533,6 +533,8 @@ class SlamEngine:
         self.pipeline_depth = 3
         self._inflight: list[dict] = []
         self._dev_cursor = None               # device (1,) i32 append cursor
+        self._pipe_bucket: int | None = None  # fixed fused chain bucket
+        self._pipe_empty = None               # cached all-(-1) id matrix
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
@@ -781,6 +783,14 @@ class SlamEngine:
         return bool((np.asarray(bmin) + off < 0).any()
                     or (np.asarray(bmax) + off > extent).any())
 
+    def _pipe_empty_ids(self):
+        K = self.bspec.max_chain_scans
+        if (self._pipe_empty is None
+                or self._pipe_empty.shape != (self._pipe_bucket, K)):
+            self._pipe_empty = jnp.asarray(
+                np.full((self._pipe_bucket, K), -1, np.int32))
+        return self._pipe_empty
+
     def _drain_pipeline(self):
         """Reconcile every in-flight scan (map-mutating events and
         output/readback surfaces call this first). Reentrant: each
@@ -800,7 +810,7 @@ class SlamEngine:
         Returns True optimistically (acceptance is known at reconcile; the
         kept-scan accounting is exact, only this return value is early).
         """
-        from .backend.processor import fused_cursor_step, step_append_cursor
+        from .backend.processor import fused_cursor_step
 
         t0 = _time.perf_counter()
         pred = self._predict_pose_host(odom)
@@ -817,10 +827,21 @@ class SlamEngine:
         if self.store._dev is None or need > self.store._dev_cap:
             self._drain_pipeline()
             self.store.device_arrays(reserve=self.pipeline_depth + 2)
+        # ONE executable for every pipelined scan (switching executables
+        # per dispatch measured catastrophically slow through the relay —
+        # probe_fetch_overlap --alt): the fused cursor program runs with a
+        # FIXED chain bucket, skipping the chain branch in-program when no
+        # chains are predicted.
+        if self._pipe_bucket is None:
+            lim = self.backend.max_parallel_chains(fused=True)
+            self._pipe_bucket = max(
+                (b for b in self.backend._BATCH_BUCKETS
+                 if b <= min(lim, 4)), default=1)
         fused_in = None
         if self._fused_backend:
             fused_in = self._prepare_fused(np_points, np_mask, odom,
-                                           pending=self._inflight)
+                                           pending=self._inflight,
+                                           bucket=self._pipe_bucket)
         if not self._inflight:
             # (re)seed the device cursor whenever the pipeline is empty —
             # self-heals across drains, growth, corrections
@@ -830,25 +851,23 @@ class SlamEngine:
         bufs = (d["points"], d["masks"], d["n_valid"],
                 self.store._dev_poses)
         points, mask = jnp.asarray(np_points), jnp.asarray(np_mask)
-        with self._state_lock, self.timers.stage("frontend_step"):
-            if fused_in is not None:
-                (self.state, packed, new_store,
-                 self._dev_cursor) = fused_cursor_step(
-                    self.fspec, self.bspec, self.state, points, mask,
-                    jnp.int32(n_valid), jnp.asarray(odom, jnp.float32),
-                    *bufs, fused_in["ids"], self._dev_cursor)
-                self.diag.fused_steps += 1
-            else:
-                (self.state, packed, new_store,
-                 self._dev_cursor) = step_append_cursor(
-                    self.fspec, self.state, points, mask,
-                    jnp.int32(n_valid), jnp.asarray(odom, jnp.float32),
-                    *bufs, self._dev_cursor)
+        if fused_in is not None:
+            ids = fused_in["ids"]
+            self.diag.fused_steps += 1
+        else:
+            ids = self._pipe_empty_ids()
+        with self._state_lock, self.timers.stage("pipe_dispatch"):
+            (self.state, packed, new_store,
+             self._dev_cursor) = fused_cursor_step(
+                self.fspec, self.bspec, self.state, points, mask,
+                jnp.int32(n_valid), jnp.asarray(odom, jnp.float32),
+                *bufs, ids, self._dev_cursor)
         self.store.install_buffers(*new_store)
-        try:
-            packed.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — transfer overlap is best-effort
-            pass
+        with self.timers.stage("pipe_copy_async"):
+            try:
+                packed.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — overlap is best-effort
+                pass
         self._move_ref_odom = np.asarray(odom, np.float64).copy()
         self._inflight.append(dict(
             packed=packed, fused_in=fused_in,
@@ -948,7 +967,8 @@ class SlamEngine:
         return True
 
     def _prepare_fused(self, np_points: np.ndarray, np_mask: np.ndarray,
-                       odom: np.ndarray, pending: list | None = None):
+                       odom: np.ndarray, pending: list | None = None,
+                       bucket: int | None = None):
         """Pre-discover the chain sets this scan's back-end pass will match
         — LinkNearChains' near chains AND TryCloseLoop's first-round loop
         candidates (both use the matched pose as init/center, so their
@@ -976,6 +996,8 @@ class SlamEngine:
         lim = self.backend.max_parallel_chains(fused=True)
         step = max((b for b in self.backend._BATCH_BUCKETS if b <= lim),
                    default=1)
+        if bucket is not None:
+            step = min(step, bucket)
         if len(near) + len(loop) > step:
             loop = []         # loop rows are opportunistic; drop them first
         if len(near) > step or not (near or loop):
@@ -984,8 +1006,9 @@ class SlamEngine:
 
         K = self.bspec.max_chain_scans
         rows = [PoseGraph.sparsify_chain(ch) for ch in near] + loop
-        bucket = next(b for b in self.backend._BATCH_BUCKETS
-                      if b >= len(rows))
+        bucket = (bucket if bucket is not None
+                  else next(b for b in self.backend._BATCH_BUCKETS
+                            if b >= len(rows)))
         ids = np.full((bucket, K), -1, np.int32)
         for b, chain in enumerate(rows):
             ids[b, :min(len(chain), K)] = chain[:K]
@@ -1615,26 +1638,23 @@ class SlamEngine:
                 except Exception:  # noqa: BLE001 — stats are best-effort
                     pass
 
-            for b in match_buckets:
-                if b > step:
-                    continue
-                best_effort(lambda b=b: warm_fused(b), f"fused bucket {b}")
             if self.pipelined_fetch and self.synchronous_backend:
-                from .backend.processor import step_append_cursor
-
-                def warm_plain():
-                    all_pts, all_msk, all_nv, all_poses, _cap = \
-                        self.store.device_arrays(reserve=1)
-                    P = self.store.max_points
-                    step_append_cursor.lower(
-                        self.fspec, self.state,
-                        jnp.zeros((P, 2), jnp.float32),
-                        jnp.zeros((P,), bool), jnp.int32(0),
-                        jnp.zeros(3, jnp.float32),
-                        all_pts, all_msk, all_nv, all_poses,
-                        jnp.zeros((1,), jnp.int32)).compile()
-
-                best_effort(warm_plain, "pipelined plain step")
+                # the pipeline runs ONE executable at a fixed bucket —
+                # warm exactly that one (per-scan executable switches are
+                # the relay's worst case; see _process_pipelined)
+                if self._pipe_bucket is None:
+                    lim2 = self.backend.max_parallel_chains(fused=True)
+                    self._pipe_bucket = max(
+                        (b for b in self.backend._BATCH_BUCKETS
+                         if b <= min(lim2, 4)), default=1)
+                best_effort(lambda: warm_fused(self._pipe_bucket),
+                            f"pipeline bucket {self._pipe_bucket}")
+            else:
+                for b in match_buckets:
+                    if b > step:
+                        continue
+                    best_effort(lambda b=b: warm_fused(b),
+                                f"fused bucket {b}")
         # 2. SPA solver shape buckets. The live path buckets nodes and
         #    edges INDEPENDENTLY (as_solver_data), and edges normally
         #    outnumber vertices, so the common live shapes are

@@ -346,9 +346,12 @@ def measure_ours_tpu_e2e(scene: str, max_scans: int = 200,
     dispatch = {
         # the fused program = frontend step + chain matches + store append
         "fused_steps": d.fused_steps - diag0.get("fused_steps", 0),
+        # pipelined mode times dispatches under "pipe_dispatch"
         "plain_frontend_steps": (
-            stages.get("frontend_step").count if "frontend_step" in stages
-            else 0) - (d.fused_steps - diag0.get("fused_steps", 0)),
+            (stages["frontend_step"].count if "frontend_step" in stages
+             else stages["pipe_dispatch"].count if "pipe_dispatch" in stages
+             else 0)
+            - (d.fused_steps - diag0.get("fused_steps", 0))),
         "separate_chain_batches": (b.num_chain_dispatches
                                    - diag0.get("chain", 0)),
         "fused_chain_hits": b.num_fused_hits - diag0.get("hits", 0),
