@@ -53,23 +53,28 @@ def k_slope_dynamic(f: Callable, k_points: tuple[int, int] = (16, 64),
     if log:
         log("compile+warm done")
     totals = {}
+    rep_times: dict = {}
     for k in (k1, k2):
         np.asarray(f(1009 + k, k))         # warm this trip count
         best = float("inf")
         r = reps
         if deadline is not None and _t.monotonic() > deadline:
             r = 1
+        times = []
         for i in range(r):
             t0 = _t.perf_counter()
             np.asarray(f(7 * i + k, k))
-            best = min(best, _t.perf_counter() - t0)
+            times.append(_t.perf_counter() - t0)
+            best = min(best, times[-1])
         totals[k] = best
+        rep_times[k] = times
         if partial_out is not None:
             partial_out[k] = best          # SIGALRM fallback reads these
         if log:
             log(f"K={k}: best {best:.4f}s over {r} reps")
     sec = max((totals[k2] - totals[k1]) / (k2 - k1), 1e-12)
-    return sec, {"t_k1": totals[k1], "t_k2": totals[k2], "k_points": k_points}
+    return sec, {"t_k1": totals[k1], "t_k2": totals[k2],
+                 "k_points": k_points, "rep_times": rep_times}
 
 
 def k_slope(make_chain: Callable[[int], Callable],

@@ -58,7 +58,7 @@ def main():
     for name, builder in [("slice", slice_builder), ("take", take_builder)]:
         C.make_slab_tiles = builder
         t = time.time()
-        v = B.tpu_scans_per_sec(k_points=(8, 32), reps=2)
+        v, _ = B.tpu_scans_per_sec(k_points=(8, 32), reps=2)
         results[name] = v
         log(f"{name:6s}: {v:8.1f} scans/s   (wall {time.time() - t:.1f}s)")
     C.make_slab_tiles = slice_builder
