@@ -139,7 +139,7 @@ fused_frontend_chain_step_nodonate = jax.jit(
 
 
 def _fused_cursor_impl(fspec, bspec: BackendSpec, state,
-                       points, mask, n_valid, cur_odom,
+                       points, mask, n_valid, cur_odom, cur_time,
                        all_points, all_masks, all_n_valid, all_poses,
                        chain_ids, cursor):
     """Pipelined variant of the fused step: the store-append CURSOR lives
@@ -151,8 +151,12 @@ def _fused_cursor_impl(fspec, bspec: BackendSpec, state,
     [15 summary][new cursor][B·13 chain rows]."""
     from ..frontend.processor import frontend_step, pack_step_summary
 
+    # cur_time enables the IN-PROGRAM MoveEnough gate: the pipeline
+    # dispatches every scan and the device drops the unmoved ones with
+    # the exact last-kept odometry (a host-side gate against lagged
+    # mirrors diverged the kept set on the full willow replay)
     state, info = frontend_step(fspec, state, points, mask, n_valid,
-                                cur_odom)
+                                cur_odom, cur_time)
     slot = cursor[0]
     ids = jnp.maximum(chain_ids, 0)
     valid = chain_ids >= 0
@@ -200,10 +204,11 @@ def _fused_cursor_impl(fspec, bspec: BackendSpec, state,
 
 fused_cursor_step = jax.jit(
     _fused_cursor_impl, static_argnames=("fspec", "bspec"),
-    donate_argnums=(2, 7, 8, 9, 10, 12))
+    donate_argnums=(2, 8, 9, 10, 11, 13))
 
 
 def _step_append_cursor_impl(fspec, state, points, mask, n_valid, cur_odom,
+                             cur_time,
                              all_points, all_masks, all_n_valid, all_poses,
                              cursor):
     """Pipelined plain step (no chain batch): frontend step + device-store
@@ -211,7 +216,7 @@ def _step_append_cursor_impl(fspec, state, points, mask, n_valid, cur_odom,
     from ..frontend.processor import frontend_step, pack_step_summary
 
     state, info = frontend_step(fspec, state, points, mask, n_valid,
-                                cur_odom)
+                                cur_odom, cur_time)
     slot = cursor[0]
     new_cursor = cursor + info.map_updated.astype(jnp.int32)
     packed = jnp.concatenate([pack_step_summary(info),
@@ -227,7 +232,7 @@ def _step_append_cursor_impl(fspec, state, points, mask, n_valid, cur_odom,
 
 step_append_cursor = jax.jit(
     _step_append_cursor_impl, static_argnames=("fspec",),
-    donate_argnums=(1, 6, 7, 8, 9, 10))
+    donate_argnums=(1, 7, 8, 9, 10, 11))
 
 
 @partial(jax.jit, static_argnames=("spec",))

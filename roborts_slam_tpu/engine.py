@@ -535,6 +535,8 @@ class SlamEngine:
         self._dev_cursor = None               # device (1,) i32 append cursor
         self._pipe_bucket: int | None = None  # fixed fused chain bucket
         self._pipe_empty = None               # cached all-(-1) id matrix
+        self._pipe_seeded = False             # device move-gate time seeded
+        self._prev_process_time: float | None = None
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
@@ -620,6 +622,14 @@ class SlamEngine:
 
     def _pass_move_gate(self, odom: np.ndarray, t: float) -> bool:
         self.diag.scans_in += 1
+        if (self.pipelined_fetch and self.synchronous_backend
+                and not self.config.use_running_range_scan_match
+                and len(self.store) > 0):
+            # pipelined mode: MoveEnough runs IN-PROGRAM with the exact
+            # last-kept odometry (the host mirrors lag the pipeline and
+            # diverged the kept set); every scan dispatches and the
+            # device gate drops the unmoved ones
+            return True
         if self._move_enough(odom, t):
             return True
         self.diag.scans_dropped_move += 1
@@ -629,6 +639,7 @@ class SlamEngine:
                        t: float) -> bool:
         """Run the front-end step on an already-gated, already-converted
         scan (both ingest paths funnel here)."""
+        self._prev_process_time = self._last_process_time
         self._last_process_time = t
 
         np_points = np.asarray(points)
@@ -842,6 +853,16 @@ class SlamEngine:
             fused_in = self._prepare_fused(np_points, np_mask, odom,
                                            pending=self._inflight,
                                            bucket=self._pipe_bucket)
+        if not self._pipe_seeded:
+            # the device MoveEnough gate needs the host's last-process
+            # time (blocking-path dispatches never carried cur_time, so
+            # state.last_step_time is still -inf and the first pipelined
+            # scan would always pass the time check)
+            lt = (self._prev_process_time
+                  if self._prev_process_time is not None else -3.4e38)
+            self.state = self.state._replace(
+                last_step_time=jnp.float32(lt))
+            self._pipe_seeded = True
         if not self._inflight:
             # (re)seed the device cursor whenever the pipeline is empty —
             # self-heals across drains, growth, corrections
@@ -861,7 +882,7 @@ class SlamEngine:
              self._dev_cursor) = fused_cursor_step(
                 self.fspec, self.bspec, self.state, points, mask,
                 jnp.int32(n_valid), jnp.asarray(odom, jnp.float32),
-                *bufs, ids, self._dev_cursor)
+                jnp.float32(t), *bufs, ids, self._dev_cursor)
         self.store.install_buffers(*new_store)
         with self.timers.stage("pipe_copy_async"):
             try:

@@ -77,6 +77,12 @@ class FrontendState(NamedTuple):
     # the prerequisite for the double-buffered fetch pipeline (the host
     # used to supply this, forcing a blocking summary fetch per scan)
     last_kept_odom: jnp.ndarray       # (3,)
+    # timestamp of the last scan that PASSED the move gate (the host's
+    # _last_process_time, device-resident so the MoveEnough check can run
+    # in-program with zero lag — the pipelined host-side check compared
+    # against stale odometry and diverged the kept set on
+    # rejection-heavy scenes)
+    last_step_time: jnp.ndarray       # () f32
 
 
 class StepInfo(NamedTuple):
@@ -125,11 +131,12 @@ def init_frontend_state(spec: FrontendSpec) -> FrontendState:
         map_penalize_times=jnp.int32(0),
         scan_index=jnp.int32(0),
         last_kept_odom=jnp.zeros(3, jnp.float32),
+        last_step_time=jnp.float32(-3.4e38),
     )
 
 
 def frontend_step(spec: FrontendSpec, state: FrontendState,
-                  points, mask, n_valid, cur_odom
+                  points, mask, n_valid, cur_odom, cur_time=None
                   ) -> tuple[FrontendState, StepInfo]:
     """One scan through the front end (slam_processor.cpp:65-247), matching
     against the accumulated scan-match maps (the reference's default path).
@@ -138,12 +145,12 @@ def frontend_step(spec: FrontendSpec, state: FrontendState,
     return _frontend_core(
         spec, state,
         spec.fine_spec, state.fine, spec.coarse_spec, state.coarse,
-        points, mask, n_valid, cur_odom)
+        points, mask, n_valid, cur_odom, cur_time)
 
 
 def frontend_step_windowed(spec: FrontendSpec, state: FrontendState,
                            win_points, win_masks, win_poses, win_valid,
-                           points, mask, n_valid, cur_odom
+                           points, mask, n_valid, cur_odom, cur_time=None
                            ) -> tuple[FrontendState, StepInfo]:
     """Windowed variant (use_running_range_scan_match): the match maps are
     rebuilt from the running-range window scans, recentered on the odometry
@@ -180,18 +187,33 @@ def frontend_step_windowed(spec: FrontendSpec, state: FrontendState,
     return _frontend_core(
         spec, state,
         spec.window_fine_spec, wfine, spec.window_coarse_spec, wcoarse,
-        points, mask, n_valid, cur_odom)
+        points, mask, n_valid, cur_odom, cur_time)
 
 
 def _frontend_core(spec: FrontendSpec, state: FrontendState,
                    match_fine_spec: ProbMapSpec, match_fine: ProbMap,
                    match_coarse_spec: ProbMapSpec, match_coarse: ProbMap,
-                   points, mask, n_valid, cur_odom
+                   points, mask, n_valid, cur_odom, cur_time=None
                    ) -> tuple[FrontendState, StepInfo]:
     """Shared front-end step: predict → match (against the given maps) →
-    penalty → gates → persistent map updates."""
+    penalty → gates → persistent map updates. With ``cur_time`` the
+    MoveEnough gate (slam_processor.cpp:604-616) ALSO runs in-program
+    against the device-resident last-kept odometry — exact even when the
+    host dispatches ahead of its fetches (the pipelined mode dispatches
+    every scan and lets this gate drop the unmoved ones)."""
     cfg = spec.config
     is_first = state.scan_index == 0
+
+    if (cur_time is not None and cfg.use_odometry and cfg.use_move_check):
+        dt_pass = (cur_time - state.last_step_time) > cfg.move_time_threshold
+        d = cur_odom[:2] - state.last_kept_odom[:2]
+        dist_pass = jnp.hypot(d[0], d[1]) >= cfg.move_distance_threshold
+        dth = cur_odom[2] - state.last_kept_odom[2]
+        ang_pass = jnp.abs(jnp.arctan2(jnp.sin(dth), jnp.cos(dth))) \
+            >= cfg.move_angle_threshold
+        move_ok = is_first | dt_pass | dist_pass | ang_pass
+    else:
+        move_ok = jnp.bool_(True)
 
     # --- predict (slam_processor.cpp:122-126) ---
     if cfg.use_odometry:
@@ -231,8 +253,9 @@ def _frontend_core(spec: FrontendSpec, state: FrontendState,
         0,
     )
 
-    # --- pose accept gate (:182-186) ---
-    accept = score > jnp.maximum(0.5, cfg.map_update_score_threshold)
+    # --- pose accept gate (:182-186); a move-gated scan changes nothing ---
+    accept = (score > jnp.maximum(0.5, cfg.map_update_score_threshold)) \
+        & move_ok
     pose = jnp.where(is_first, state.pose, jnp.where(accept, out.pose, state.pose))
     score = jnp.where(is_first, jnp.float32(1.0), score)
 
@@ -245,7 +268,8 @@ def _frontend_core(spec: FrontendSpec, state: FrontendState,
     gate = (score > cfg.map_update_score_threshold) & (
         moved | (not cfg.use_map_update_move_check)
     )
-    gate = gate | (state.scan_index < 1)
+    gate = (gate | (state.scan_index < 1)) & move_ok
+    gate = gate | is_first
 
     # pub map factors: the first scan is trusted (slam_processor.cpp:540-552)
     free_f = jnp.where(is_first, jnp.float32(cfg.map_min_passthrough),
@@ -268,12 +292,19 @@ def _frontend_core(spec: FrontendSpec, state: FrontendState,
         fine=ProbMap(sel(new_fine.probs, state.fine.probs), state.fine.offset),
         pose=pose,
         last_map_update_pose=jnp.where(gate, pose, state.last_map_update_pose),
-        map_penalize_times=jnp.where(is_first, 0, pen_times).astype(jnp.int32),
+        map_penalize_times=jnp.where(
+            is_first, 0,
+            jnp.where(move_ok, pen_times,
+                      state.map_penalize_times)).astype(jnp.int32),
         scan_index=state.scan_index + gate.astype(jnp.int32),
         # the engine keeps a scan (and its odom) iff the map-update gate
         # passed (engine reads summary[12] = map_updated as "accepted")
         last_kept_odom=jnp.where(gate, cur_odom.astype(jnp.float32),
                                  state.last_kept_odom),
+        last_step_time=(jnp.where(move_ok,
+                                  jnp.float32(cur_time),
+                                  state.last_step_time)
+                        if cur_time is not None else state.last_step_time),
     )
     info = StepInfo(pose=pose, score=score, cov=out.cov, map_updated=gate,
                     pose_accepted=accept | is_first)
