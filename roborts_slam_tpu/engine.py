@@ -537,6 +537,7 @@ class SlamEngine:
         self._pipe_empty = None               # cached all-(-1) id matrix
         self._pipe_seeded = False             # device move-gate time seeded
         self._prev_process_time: float | None = None
+        self._last_kept_time: float | None = None
         # async pipeline (BackEndProcessThread, slam_processor.cpp:384-426):
         # the front end streams scans while the worker drains the queue
         self._state_lock = threading.Lock()
@@ -625,15 +626,46 @@ class SlamEngine:
         if (self.pipelined_fetch and self.synchronous_backend
                 and not self.config.use_running_range_scan_match
                 and len(self.store) > 0):
-            # pipelined mode: MoveEnough runs IN-PROGRAM with the exact
-            # last-kept odometry (the host mirrors lag the pipeline and
-            # diverged the kept set); every scan dispatches and the
-            # device gate drops the unmoved ones
+            # pipelined mode: the host pre-filter is OPTIMISTIC (gates
+            # against the newest dispatched scan's odometry, assuming
+            # in-flight scans will be kept — true whenever the score gate
+            # passes, which is the overwhelming case) and the IN-PROGRAM
+            # MoveEnough gate is the exactness backstop: any scan the
+            # optimism lets through but the true gate rejects is dropped
+            # on device with the exact last-kept reference. A
+            # provably-safe host filter was tried and cannot prune under
+            # continuous motion (the true reference is genuinely
+            # ambiguous until reconcile), collapsing icra to 27 kept/s —
+            # dispatching every scan costs a fetch each. Residual
+            # divergence vs blocking: optimistic false-DROPS in the rare
+            # windows right after a score-gate rejection
+            # (docs/PERFORMANCE.md, willow full-scene table).
+            if not self._move_enough(odom, t):
+                self.diag.scans_dropped_move += 1
+                return False
             return True
         if self._move_enough(odom, t):
             return True
         self.diag.scans_dropped_move += 1
         return False
+
+    def _pipeline_safe_move_drop(self, odom: np.ndarray, t: float) -> bool:
+        cfg = self.config
+        if not cfg.use_odometry or not cfg.use_move_check:
+            return False
+        if self._last_kept_odom is None or self._last_kept_time is None:
+            return False
+        if t - self._last_kept_time > cfg.move_time_threshold:
+            return False                    # time escape could fire
+        refs = [self._last_kept_odom] + [e["odom"] for e in self._inflight]
+        for r in refs:
+            d = odom[:2] - r[:2]
+            if np.hypot(d[0], d[1]) >= cfg.move_distance_threshold:
+                return False
+            dth = np.arctan2(np.sin(odom[2] - r[2]), np.cos(odom[2] - r[2]))
+            if abs(dth) >= cfg.move_angle_threshold:
+                return False
+        return True
 
     def _process_gated(self, points, mask, n_valid: int, odom: np.ndarray,
                        t: float) -> bool:
@@ -736,6 +768,7 @@ class SlamEngine:
             self._check_world_bounds(pose)
         self._last_kept_odom = np.asarray(odom, np.float64).copy()
         self._move_ref_odom = self._last_kept_odom
+        self._last_kept_time = float(t)
         scan_id = self.store.add(np_points, np_mask, n_valid, pose, odom, t)
         self.trajectory.append((t, pose))
         self._update_map_to_odom(pose, np.asarray(odom, np.float64))
@@ -928,6 +961,7 @@ class SlamEngine:
         else:
             self._check_world_bounds(pose)
         self._last_kept_odom = e["odom"].copy()
+        self._last_kept_time = float(e["t"])
         scan_id = self.store.add(e["np_points"], e["np_mask"], e["n_valid"],
                                  pose, e["odom"], e["t"])
         # the device append cursor advanced in-program; mirror it
