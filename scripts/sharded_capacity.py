@@ -97,15 +97,26 @@ def main():
     mesh1 = Mesh(devs.reshape(8)[:1], ("data",))
     single = make_sharded_chain_matcher_gather(bspec, mesh1)
     print("compiling single-device B=8 ...", flush=True)
-    peak1 = report("single-device (all B)",
-                   single.lower(*operands).compile().memory_analysis())
-
     hbm = 16e9
-    print(f"\nper-device peak ratio single/sharded: {peak1 / max(peak8, 1):.1f}x")
-    print(f"single-device B={B} {'EXCEEDS' if peak1 > hbm else 'fits'} "
-          f"a 16 GB chip; sharded {'fits' if peak8 < hbm else 'EXCEEDS'}")
-    ok = peak8 < hbm and peak1 > peak8 * 2
+    try:
+        peak1 = report("single-device (all B)",
+                       single.lower(*operands).compile().memory_analysis())
+        single_oom = peak1 > hbm
+        print(f"\nper-device peak ratio single/sharded: "
+              f"{peak1 / max(peak8, 1):.1f}x")
+    except Exception as e:  # noqa: BLE001
+        # the strongest possible form of the evidence: the XLA TPU
+        # compiler itself refuses the single-device program (measured at
+        # rm scale: "Used 31.79G of 15.75G hbm")
+        msg = str(e).split("\n")[0][:160]
+        print(f"single-device (all B)        COMPILER REFUSED: {msg}")
+        single_oom = "RESOURCE_EXHAUSTED" in str(e) or "memory" in str(e)
+    print(f"single-device B={B} {'EXCEEDS' if single_oom else 'fits'} "
+          f"a 16 GB chip; sharded "
+          f"{'fits' if peak8 < hbm else 'EXCEEDS'} (peak {peak8 / 1e9:.2f} GB)")
+    ok = peak8 < hbm and single_oom
     print("CAPACITY EVIDENCE:", "OK" if ok else "INCONCLUSIVE")
+    sys.exit(0 if ok else 2)
 
 
 if __name__ == "__main__":
