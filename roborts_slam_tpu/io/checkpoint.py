@@ -140,6 +140,9 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
         last_kept_odom=jnp.asarray(
             np.where(np.isnan(z["last_kept_odom"]), 0.0, z["last_kept_odom"]),
             dtype=jnp.float32),
+        last_step_time=jnp.float32(
+            z["last_process_time"]
+            if np.isfinite(z["last_process_time"]) else -3.4e38),
     )
     st._pub_arrays = (engine.fspec.pub_spec,
                       engine.state.pub.hits, engine.state.pub.passes,
@@ -162,6 +165,11 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
             for i in range(z["odom_history_t"].shape[0])]
     lpt = float(z["last_process_time"])
     engine._last_process_time = None if np.isnan(lpt) else lpt
+    engine._prev_process_time = engine._last_process_time
+    # kept time for the pipelined move pre-filter (approximate: the last
+    # trajectory stamp is the last kept scan's time)
+    engine._last_kept_time = (float(z["trajectory"][-1][0])
+                              if len(z["trajectory"]) else None)
     d = z["diag"]
     engine.diag.scans_in = int(d[0])
     engine.diag.scans_processed = int(d[1])

@@ -634,3 +634,37 @@ def test_pipelined_fetch_matches_blocking(icra_log):
                                atol=1e-6)
     # pub maps identical
     np.testing.assert_array_equal(e0.get_pub_map(), e1.get_pub_map())
+
+
+def test_checkpoint_resume_under_pipeline(tmp_path, icra_log):
+    """Round 5: a checkpoint taken mid-run (the save drains the fetch
+    pipeline) must resume into pipelined mode with the device move-gate
+    clock seeded — the resumed trajectory must match a straight-through
+    pipelined run."""
+    cfg = _small_config()
+    log = icra_log
+    n1, n2 = 60, 120
+
+    ref = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    ref.pipelined_fetch = True
+    for i in range(n2):
+        ref.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    ref.finish()
+
+    a = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    a.pipelined_fetch = True
+    for i in range(n1):
+        a.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    path = str(tmp_path / "pipe.ckpt.npz")
+    save_checkpoint(a, path)          # drains in-flight scans first
+    assert not a._inflight
+
+    b = load_checkpoint(path)
+    b.pipelined_fetch = True
+    for i in range(n1, n2):
+        b.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    b.finish()
+
+    assert len(b.store) == len(ref.store), (len(b.store), len(ref.store))
+    np.testing.assert_allclose(b.trajectory_array(), ref.trajectory_array(),
+                               atol=1e-4)
