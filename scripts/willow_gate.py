@@ -40,6 +40,8 @@ def main():
                     help="overwrite the committed baseline record")
     ap.add_argument("--pipelined", action="store_true",
                     help="use the double-buffered fetch pipeline")
+    ap.add_argument("--depth", type=int, default=3,
+                    help="pipeline depth (quality/throughput dial)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +55,7 @@ def main():
     engine, log = _engine_for_scene("willow", synchronous_backend=True)
     if args.pipelined:
         engine.pipelined_fetch = True
+        engine.pipeline_depth = args.depth
     n = len(log)
     t0 = time.time()
     warm_done = False
@@ -86,6 +89,7 @@ def main():
         "chain_dispatches": engine.backend.num_chain_dispatches,
         "pub_clip_rebuilds": engine.diag.pub_clip_rebuilds,
         "pipelined": bool(args.pipelined),
+        "pipeline_depth": args.depth if args.pipelined else 0,
         "measured_at": time.strftime("%Y-%m-%d %H:%M"),
     }
     os.makedirs(os.path.join(REPO, "out"), exist_ok=True)
