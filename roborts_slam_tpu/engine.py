@@ -1677,7 +1677,6 @@ class SlamEngine:
                     self.fspec, self.bspec, self.state,
                     jnp.zeros((P, 2), jnp.float32), jnp.zeros((P,), bool),
                     jnp.int32(0), jnp.zeros(3, jnp.float32),
-                    jnp.zeros(3, jnp.float32),
                     all_pts, all_msk, all_nv, all_poses, ids,
                     jnp.int32(0)).compile()
                 # record the FUSED program's own compiler-measured peak so

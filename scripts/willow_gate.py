@@ -98,7 +98,10 @@ def main():
         json.dump(rec, fh, indent=1)
     print(json.dumps(rec, indent=1))
 
-    base_path = os.path.join(REPO, "out", "willow_gate_baseline.json")
+    # the baseline lives in the COMMITTED records/ dir (out/ is gitignored)
+    # so a fresh clone gates against the recorded run (VERDICT r4 #9)
+    base_path = os.path.join(REPO, "records", "willow_gate_baseline.json")
+    os.makedirs(os.path.dirname(base_path), exist_ok=True)
     if args.rebase or not os.path.exists(base_path):
         with open(base_path, "w") as fh:
             json.dump(rec, fh, indent=1)

@@ -2,6 +2,7 @@
 checkpoint/resume."""
 
 import os
+import warnings
 
 import numpy as np
 import pytest
@@ -110,7 +111,19 @@ def test_warm_backend_is_side_effect_free(icra_log):
     for eng in (plain, warmed):
         for i in range(n_pre):
             eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
-    warmed.warm_backend(solver_buckets=(64,), match_buckets=(1,))
+    # warm-up must actually succeed, not silently best-effort-skip: a
+    # stale warm_fused signature once raised TypeError on every fused
+    # bucket, leaving mid-run compiles AND the fused memory cap
+    # unrecorded (the ADVICE-r4 sizer fix depends on it)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        warmed.warm_backend(solver_buckets=(64,), match_buckets=(1,))
+    skipped = [str(w.message) for w in caught
+               if "skipping" in str(w.message)]
+    assert not skipped, skipped
+    if warmed._fused_backend and not cfg.use_running_range_scan_match:
+        assert warmed.backend._measured_mem_fused, \
+            "fused program's compiler-measured peak was not recorded"
     g = warmed.backend.graph
     n_v, n_e = g.num_vertices, len(g.edges)
     for eng in (plain, warmed):
