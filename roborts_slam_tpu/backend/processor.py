@@ -207,34 +207,6 @@ fused_cursor_step = jax.jit(
     donate_argnums=(2, 8, 9, 10, 11, 13))
 
 
-def _step_append_cursor_impl(fspec, state, points, mask, n_valid, cur_odom,
-                             cur_time,
-                             all_points, all_masks, all_n_valid, all_poses,
-                             cursor):
-    """Pipelined plain step (no chain batch): frontend step + device-store
-    append at the in-device cursor. Packed = [15 summary][new cursor]."""
-    from ..frontend.processor import frontend_step, pack_step_summary
-
-    state, info = frontend_step(fspec, state, points, mask, n_valid,
-                                cur_odom, cur_time)
-    slot = cursor[0]
-    new_cursor = cursor + info.map_updated.astype(jnp.int32)
-    packed = jnp.concatenate([pack_step_summary(info),
-                              new_cursor.astype(jnp.float32)])
-    new_store = (
-        jax.lax.dynamic_update_index_in_dim(all_points, points, slot, 0),
-        jax.lax.dynamic_update_index_in_dim(all_masks, mask, slot, 0),
-        all_n_valid.at[slot].set(n_valid),
-        jax.lax.dynamic_update_index_in_dim(all_poses, info.pose, slot, 0),
-    )
-    return state, packed, new_store, new_cursor
-
-
-step_append_cursor = jax.jit(
-    _step_append_cursor_impl, static_argnames=("fspec",),
-    donate_argnums=(1, 7, 8, 9, 10, 11))
-
-
 @partial(jax.jit, static_argnames=("spec",))
 def chain_match_batch_gather(spec: BackendSpec,
                              all_points, all_masks, all_n_valid, all_poses,

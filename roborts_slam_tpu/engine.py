@@ -44,6 +44,15 @@ def _store_append_impl(buf_pts, buf_msk, buf_nv, buf_poses,
 
 
 _store_append = jax.jit(_store_append_impl, donate_argnums=(0, 1, 2, 3))
+# async-backend variant: the worker thread may hold the CURRENT buffer
+# handles between its device_arrays() snapshot and its chain-match
+# dispatch; donating them there raises "Array has been deleted" under the
+# worker (use-after-donate race). The copy costs ~10 MB on device — the
+# same trade the non-donating fused step documents.
+_store_append_nodonate = jax.jit(_store_append_impl)
+
+# real copies (no donation → no input/output aliasing in XLA), one dispatch
+_copy3 = jax.jit(lambda a, b, c: (jnp.copy(a), jnp.copy(b), jnp.copy(c)))
 
 
 def _step_summary(spec, state, points, mask, n_valid, cur_odom):
@@ -144,6 +153,10 @@ class ScanStore:
         # the main thread's add())
         self._lock = threading.RLock()
         self.max_points = max_points
+        # donation is only safe when exactly ONE thread touches the device
+        # mirror (sync engine); the async engine clears this so appends
+        # copy instead of invalidating handles a worker dispatch may hold
+        self.donate_appends = True
         self._points: list[np.ndarray] = []
         self._masks: list[np.ndarray] = []
         self._n_valid: list[int] = []
@@ -385,7 +398,11 @@ class ScanStore:
         with self._lock:
             self._dev = dict(points=points, masks=masks, n_valid=n_valid)
             self._dev_poses = poses
-            self._dev_poses_stale = False
+            # _dev_poses_stale is deliberately left alone: these buffers
+            # derive from the previously-installed ones, so a staleness
+            # mark (a correction's set_pose) must survive the rotation
+            # until the engine rebuilds the mirror (pipeline-empty
+            # refresh in _process_pipelined)
 
     def _device_arrays_locked(self, reserve: int = 0):
         """Device-resident (cap, ...) scan buffers, appended incrementally:
@@ -419,7 +436,9 @@ class ScanStore:
         while self._dev_count < n:           # appends carry their pose too
             i = self._dev_count
             d = self._dev
-            p, m, v, po = _store_append(
+            append = (_store_append if self.donate_appends
+                      else _store_append_nodonate)
+            p, m, v, po = append(
                 d["points"], d["masks"], d["n_valid"], self._dev_poses,
                 jnp.asarray(self._points[i]), jnp.asarray(self._masks[i]),
                 jnp.int32(self._n_valid[i]),
@@ -482,6 +501,7 @@ class SlamEngine:
             config.max_points,
             running_range_max_scans=config.running_range_size,
             running_range_max_distance=config.running_range_max_distance)
+        self.store.donate_appends = synchronous_backend
         self.backend = Backend(self.bspec, self.store)
         self.backend.on_corrections = self._apply_corrections
         self.synchronous_backend = synchronous_backend
@@ -548,6 +568,21 @@ class SlamEngine:
         self._backend_thread: threading.Thread | None = None
 
     # ---- gates (MoveEnough, slam_processor.cpp:604-616) ----
+
+    def _publish_pub_arrays(self):
+        """Install the feedback pub-map snapshot the back-end reads
+        (ScanStore.pub_map_arrays). Sync mode hands out the live state
+        arrays (single reader, refreshed before every consumer). Async
+        mode hands out COPIES: the frontend's next dispatch DONATES the
+        state pytree, so a worker holding the live hits/passes between its
+        snapshot and its chain-match dispatch would hit
+        "Array has been deleted" (use-after-donate race)."""
+        pub = self.state.pub
+        if self.synchronous_backend:
+            arrs = (pub.hits, pub.passes, pub.offset)
+        else:
+            arrs = _copy3(pub.hits, pub.passes, pub.offset)
+        self.store._pub_arrays = (self.fspec.pub_spec, *arrs)
 
     def _move_enough(self, odom: np.ndarray, t: float) -> bool:
         cfg = self.config
@@ -649,24 +684,6 @@ class SlamEngine:
         self.diag.scans_dropped_move += 1
         return False
 
-    def _pipeline_safe_move_drop(self, odom: np.ndarray, t: float) -> bool:
-        cfg = self.config
-        if not cfg.use_odometry or not cfg.use_move_check:
-            return False
-        if self._last_kept_odom is None or self._last_kept_time is None:
-            return False
-        if t - self._last_kept_time > cfg.move_time_threshold:
-            return False                    # time escape could fire
-        refs = [self._last_kept_odom] + [e["odom"] for e in self._inflight]
-        for r in refs:
-            d = odom[:2] - r[:2]
-            if np.hypot(d[0], d[1]) >= cfg.move_distance_threshold:
-                return False
-            dth = np.arctan2(np.sin(odom[2] - r[2]), np.cos(odom[2] - r[2]))
-            if abs(dth) >= cfg.move_angle_threshold:
-                return False
-        return True
-
     def _process_gated(self, points, mask, n_valid: int, odom: np.ndarray,
                        t: float) -> bool:
         """Run the front-end step on an already-gated, already-converted
@@ -755,6 +772,11 @@ class SlamEngine:
         # summary's pose IS the new state.pose (frontend_step stores the
         # same gated value in both), so the mirror updates unconditionally
         self._host_pose = pose.copy()
+        # refresh the back-end's pub snapshot for REJECTED scans too: the
+        # dispatch above donated the previous state whose arrays the old
+        # snapshot referenced (a later force_graph_optimize / async worker
+        # read would hit deleted buffers)
+        self._publish_pub_arrays()
         self.diag.match_time_s += _time.perf_counter() - t0
 
         if not accepted:
@@ -777,9 +799,6 @@ class SlamEngine:
         if (self.map_snapshot_every > 0 and self.on_map_snapshot is not None
                 and len(self.store) % self.map_snapshot_every == 0):
             self.on_map_snapshot(len(self.store), self.get_pub_map())
-        self.store._pub_arrays = (self.fspec.pub_spec,
-                                   self.state.pub.hits, self.state.pub.passes,
-                                  self.state.pub.offset)
         self._ensure_pub_covers(pose, np_points, np_mask)
 
         cov = np.asarray(cov_f, np.float64)
@@ -826,6 +845,18 @@ class SlamEngine:
         extent = np.array([spec.width, spec.height]) * spec.resolution
         return bool((np.asarray(bmin) + off < 0).any()
                     or (np.asarray(bmax) + off > extent).any())
+
+    def _select_pipe_bucket(self) -> int:
+        """The pipeline's ONE fixed fused-chain bucket. Shared by dispatch
+        and warm_backend so warm-up compiles exactly the executable the
+        pipeline runs (a divergence here reintroduces the per-scan
+        executable-switch worst case)."""
+        if self._pipe_bucket is None:
+            lim = self.backend.max_parallel_chains(fused=True)
+            self._pipe_bucket = max(
+                (b for b in self.backend._BATCH_BUCKETS
+                 if b <= min(lim, 4)), default=1)
+        return self._pipe_bucket
 
     def _pipe_empty_ids(self):
         K = self.bspec.max_chain_scans
@@ -876,11 +907,7 @@ class SlamEngine:
         # probe_fetch_overlap --alt): the fused cursor program runs with a
         # FIXED chain bucket, skipping the chain branch in-program when no
         # chains are predicted.
-        if self._pipe_bucket is None:
-            lim = self.backend.max_parallel_chains(fused=True)
-            self._pipe_bucket = max(
-                (b for b in self.backend._BATCH_BUCKETS
-                 if b <= min(lim, 4)), default=1)
+        self._select_pipe_bucket()
         fused_in = None
         if self._fused_backend:
             fused_in = self._prepare_fused(np_points, np_mask, odom,
@@ -901,6 +928,14 @@ class SlamEngine:
             # self-heals across drains, growth, corrections
             self._dev_cursor = jnp.asarray(
                 np.array([len(self.store)], np.int32))
+            if self.store._dev_poses_stale:
+                # a correction (loop closure / force_graph_optimize)
+                # rewrote stored poses; rebuild the device pose mirror
+                # before the next chain gather reads it. Corrections only
+                # land with the pipeline drained (closures drain first;
+                # the public surfaces drain too), so host poses are
+                # authoritative here.
+                self.store.device_arrays()
         d = self.store._dev
         bufs = (d["points"], d["masks"], d["n_valid"],
                 self.store._dev_poses)
@@ -946,46 +981,39 @@ class SlamEngine:
         pose = s[:3].copy()
         self._host_pose = pose.copy()
         if not accepted:
-            self.diag.scans_dropped_gate += 1
+            # match the blocking path's drop attribution: a scan whose
+            # SCORE cleared the accept threshold (s[14]) was blocked by
+            # the in-program MoveEnough backstop — blocking mode counts
+            # those on the host move gate. (A map-update move-check fail
+            # with a passing score is misattributed here — blocking calls
+            # it a gate drop — an accepted diagnostics approximation.)
+            if s[14] > max(0.5, self.config.map_update_score_threshold):
+                self.diag.scans_dropped_move += 1
+            else:
+                self.diag.scans_dropped_gate += 1
             return False
         t0 = _time.perf_counter()
         self.diag.scans_processed += 1
-        if self.config.match_map_window > 0:
-            fs = self.fspec.fine_spec
-            extent = np.array([fs.width, fs.height]) * fs.resolution
-            center_w = extent * 0.5 - self._host_fine_off
-            window = min(float(extent[0]), float(extent[1]))
-            if np.max(np.abs(pose[:2] - center_w)) > 0.25 * window:
-                self._drain_pipeline()     # recenter rebuilds the maps
-            self._maybe_recenter(pose)
-        else:
-            self._check_world_bounds(pose)
+        # ---- commit phase — NO nested drains allowed: the device wrote
+        # this scan at its cursor slot BEFORE any younger in-flight scan,
+        # so the host must commit in the same order (a drain here would
+        # let a younger scan take this scan's store id / graph vertex and
+        # permanently skew every id-addressed device gather) ----
         self._last_kept_odom = e["odom"].copy()
         self._last_kept_time = float(e["t"])
         scan_id = self.store.add(e["np_points"], e["np_mask"], e["n_valid"],
                                  pose, e["odom"], e["t"])
         # the device append cursor advanced in-program; mirror it
         self.store._dev_count = int(round(s[15]))
+        n_committed = len(self.store)
         self.trajectory.append((e["t"], pose))
         self._update_map_to_odom(pose, e["odom"])
         if self.on_pose is not None:
             self.on_pose(e["t"], pose.copy())
-        if (self.map_snapshot_every > 0 and self.on_map_snapshot is not None
-                and len(self.store) % self.map_snapshot_every == 0):
-            self._drain_pipeline()        # the rendered map must be current
-            self.on_map_snapshot(len(self.store), self.get_pub_map())
-        self.store._pub_arrays = (self.fspec.pub_spec,
-                                  self.state.pub.hits, self.state.pub.passes,
-                                  self.state.pub.offset)
-        # post-match clip safety net (rare): the rebuild needs the full
-        # store, so complete the pipeline before growing
-        bmin, bmax = self._scan_world_bbox(pose, e["np_points"], e["np_mask"])
-        if self._pub_growth_needed(bmin, bmax):
-            self._drain_pipeline()
-            self._grow_pub_to_bbox(bmin, bmax)
-            self.diag.pub_clip_rebuilds += 1
-            with self._state_lock:
-                self._rebuild_pub_locked()
+        self._publish_pub_arrays()
+        # the graph vertex belongs to the commit too: a nested drain may
+        # run a younger scan's update_graph, and vertex ids must follow
+        # store-commit order (add_vertex asserts vid == scan_id)
         cov = s[3:12].reshape(3, 3)
         prematched = None
         fused_in = e["fused_in"]
@@ -1007,6 +1035,34 @@ class SlamEngine:
         with self.timers.stage("backend_update"):
             self.backend.update_graph(scan_id, cov,
                                       prematched=(pre or {}).get("near"))
+        # ---- event phase — this scan is fully committed (store + graph),
+        # so draining the remaining in-flight scans preserves commit
+        # order. Chain matches rebuild their own pair maps, so running
+        # update_graph before a recenter/clip event matches blocking
+        # semantics ----
+        if self.config.match_map_window > 0:
+            fs = self.fspec.fine_spec
+            extent = np.array([fs.width, fs.height]) * fs.resolution
+            center_w = extent * 0.5 - self._host_fine_off
+            window = min(float(extent[0]), float(extent[1]))
+            if np.max(np.abs(pose[:2] - center_w)) > 0.25 * window:
+                self._drain_pipeline()     # recenter rebuilds the maps
+            self._maybe_recenter(pose)
+        else:
+            self._check_world_bounds(pose)
+        if (self.map_snapshot_every > 0 and self.on_map_snapshot is not None
+                and n_committed % self.map_snapshot_every == 0):
+            self._drain_pipeline()        # the rendered map must be current
+            self.on_map_snapshot(len(self.store), self.get_pub_map())
+        # post-match clip safety net (rare): the rebuild needs the full
+        # store, so complete the pipeline before growing
+        bmin, bmax = self._scan_world_bbox(pose, e["np_points"], e["np_mask"])
+        if self._pub_growth_needed(bmin, bmax):
+            self._drain_pipeline()
+            self._grow_pub_to_bbox(bmin, bmax)
+            self.diag.pub_clip_rebuilds += 1
+            with self._state_lock:
+                self._rebuild_pub_locked()
         # loop closure corrects every pose + rebuilds every map: only
         # attempt when candidates actually exist, and finish the pipeline
         # first. Candidates are a cheap vectorized barycenter query.
@@ -1268,9 +1324,7 @@ class SlamEngine:
             jnp.float32(cfg.map_update_occu_factor),
             first_scan_extra=int(cfg.map_min_passthrough))
         self.state = self.state._replace(pub=pub)
-        self.store._pub_arrays = (self.fspec.pub_spec,
-                                  self.state.pub.hits, self.state.pub.passes,
-                                  self.state.pub.offset)
+        self._publish_pub_arrays()
 
     def _grow_pub_to(self, new_w: int, new_h: int,
                      shift_x_cells: int, shift_y_cells: int):
@@ -1304,9 +1358,7 @@ class SlamEngine:
         self.state = self.state._replace(
             pub=CountMap(jnp.asarray(hits), jnp.asarray(passes),
                          jnp.asarray(new_off, jnp.float32)))
-        self.store._pub_arrays = (self.fspec.pub_spec,
-                                   self.state.pub.hits, self.state.pub.passes,
-                                  self.state.pub.offset)
+        self._publish_pub_arrays()
 
     def _shift_granule(self) -> float:
         """Smallest shift (m) that is an integer cell count in BOTH
@@ -1499,9 +1551,7 @@ class SlamEngine:
             last_map_update_pose=jnp.array(new_pose))
         for i, (t, _) in enumerate(self.trajectory):
             self.trajectory[i] = (t, self.store.poses[i].copy())
-        self.store._pub_arrays = (self.fspec.pub_spec,
-                                   self.state.pub.hits, self.state.pub.passes,
-                                  self.state.pub.offset)
+        self._publish_pub_arrays()
 
     # ---- fixed-rate pose stream (PublishTransform thread analog,
     #      roborts_slam_node.cpp:178-196) ----
@@ -1692,17 +1742,43 @@ class SlamEngine:
                 except Exception:  # noqa: BLE001 — stats are best-effort
                     pass
 
+            def warm_cursor(b):
+                # the pipeline's executable is fused_cursor_step (device
+                # append cursor + in-program move gate + lax.cond chain
+                # branch) — NOT fused_frontend_chain_step; warming the
+                # latter here left the real pipeline program cold and
+                # recorded the wrong program's memory peak
+                from .backend.processor import fused_cursor_step
+
+                all_pts, all_msk, all_nv, all_poses, _cap = \
+                    self.store.device_arrays(reserve=1)
+                K = self.bspec.max_chain_scans
+                ids = jnp.asarray(np.full((b, K), -1, np.int32))
+                P = self.store.max_points
+                compiled = fused_cursor_step.lower(
+                    self.fspec, self.bspec, self.state,
+                    jnp.zeros((P, 2), jnp.float32), jnp.zeros((P,), bool),
+                    jnp.int32(0), jnp.zeros(3, jnp.float32),
+                    jnp.float32(0.0),
+                    all_pts, all_msk, all_nv, all_poses, ids,
+                    jnp.zeros((1,), jnp.int32)).compile()
+                try:
+                    mem = compiled.memory_analysis()
+                    peak = (getattr(mem, "peak_memory_in_bytes", 0)
+                            or (getattr(mem, "temp_size_in_bytes", 0)
+                                + getattr(mem, "output_size_in_bytes", 0)))
+                    if peak:
+                        self.backend._measured_mem_fused[b] = float(peak)
+                except Exception:  # noqa: BLE001 — stats are best-effort
+                    pass
+
             if self.pipelined_fetch and self.synchronous_backend:
                 # the pipeline runs ONE executable at a fixed bucket —
                 # warm exactly that one (per-scan executable switches are
                 # the relay's worst case; see _process_pipelined)
-                if self._pipe_bucket is None:
-                    lim2 = self.backend.max_parallel_chains(fused=True)
-                    self._pipe_bucket = max(
-                        (b for b in self.backend._BATCH_BUCKETS
-                         if b <= min(lim2, 4)), default=1)
-                best_effort(lambda: warm_fused(self._pipe_bucket),
-                            f"pipeline bucket {self._pipe_bucket}")
+                b = self._select_pipe_bucket()
+                best_effort(lambda: warm_cursor(b),
+                            f"pipeline bucket {b}")
             else:
                 for b in match_buckets:
                     if b > step:

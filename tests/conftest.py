@@ -39,6 +39,8 @@ _SLOW = {
     "test_engine_features.py::test_checkpoint_roundtrip",
     "test_engine_features.py::test_windowed_running_range_match",
     "test_engine_features.py::test_engine_dedistortion_path",
+    "test_engine_features.py::test_pipelined_pose_mirror_refreshes_after_correction",
+    "test_engine_features.py::test_pipelined_snapshot_drain_keeps_commit_order",
     "test_branch_and_bound.py::test_engine_with_fast_correlation_match",
     "test_branch_and_bound.py::test_bnb_matches_exhaustive_best",
     "test_matchers.py::test_tiered_scan_match_recovers_pose",

@@ -4,6 +4,7 @@ checkpoint/resume."""
 import os
 import warnings
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -61,6 +62,38 @@ def test_device_store_mirrors_host():
     for i in range(4, 11):
         add(i)                         # overflows cap 4 -> rebuild at 16
     check()
+
+
+def test_store_append_donation_policy():
+    """Sync engines donate device-store appends (no O(capacity) copy per
+    scan); async engines must NOT — a worker thread can hold the current
+    buffer handles between its device_arrays() snapshot and its
+    chain-match dispatch, and a donating append would delete them under
+    it (use-after-donate)."""
+    rng = np.random.default_rng(1)
+
+    def add(st, i):
+        st.add(rng.random((8, 2)).astype(np.float32), np.ones(8, bool), 8,
+               np.array([float(i), 0.0, 0.0]), np.zeros(3), float(i))
+
+    # async policy: old handles stay readable across an append
+    st = ScanStore(max_points=8)
+    st.donate_appends = False
+    add(st, 0)
+    pts, msk, nv, poses, _ = st.device_arrays()
+    add(st, 1)
+    st.device_arrays()                 # incremental append happens here
+    assert not pts.is_deleted() and not poses.is_deleted()
+    assert np.isfinite(float(jnp.sum(pts)))   # a reader can still use them
+
+    # sync policy (default): the append consumes the old buffers
+    st2 = ScanStore(max_points=8)
+    assert st2.donate_appends
+    add(st2, 0)
+    pts2, *_ = st2.device_arrays()
+    add(st2, 1)
+    st2.device_arrays()
+    assert pts2.is_deleted()
 
 
 def test_running_range_window():
@@ -463,9 +496,16 @@ def test_async_stress_slow_corrections(icra_log):
     # barycenter cache equals a from-scratch recompute
     np.testing.assert_allclose(eng.store.barycenters(),
                                eng.store._bary_of(range(n)), atol=1e-12)
-    # the pub snapshot tuple is the live state's arrays (atomicity invariant)
+    # the pub snapshot is a LIVE COPY in async mode (the frontend's next
+    # dispatch donates the state arrays, so handing out the live objects
+    # was a use-after-donate race): alive, spec-paired, content-equal
     pub_spec, hits, passes, off = eng.store.pub_map_arrays()
-    assert hits is eng.state.pub.hits and passes is eng.state.pub.passes
+    assert not hits.is_deleted() and not passes.is_deleted()
+    assert hits is not eng.state.pub.hits    # copied, not aliased
+    np.testing.assert_array_equal(np.asarray(hits),
+                                  np.asarray(eng.state.pub.hits))
+    np.testing.assert_array_equal(np.asarray(passes),
+                                  np.asarray(eng.state.pub.passes))
     assert pub_spec == eng.fspec.pub_spec
     # engine stays usable after finish(): the worker revives
     j0 = len(log) - 5
@@ -647,6 +687,94 @@ def test_pipelined_fetch_matches_blocking(icra_log):
                                atol=1e-6)
     # pub maps identical
     np.testing.assert_array_equal(e0.get_pub_map(), e1.get_pub_map())
+
+
+def test_pub_snapshot_survives_rejected_scan(icra_log):
+    """The back-end's pub-map snapshot (pub_map_arrays) must stay usable
+    after a REJECTED scan: the rejecting dispatch still donates the
+    previous state, so the snapshot must be refreshed unconditionally —
+    pre-fix it was only refreshed on accepted scans and a later
+    force_graph_optimize / worker read hit deleted buffers."""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=True)
+    rng = np.random.default_rng(7)
+    for i in range(10):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    # garbage sweep at a displaced odometry: passes the move gate, fails
+    # the score gate
+    bad = rng.uniform(0.3, 0.9 * log.laser.range_max,
+                      log.ranges[10].shape).astype(np.float32)
+    odom = np.asarray(log.odom[10], np.float64) + np.array([0.5, 0.4, 0.3])
+    kept = eng.process(bad, odom, float(log.times[10]) + 0.05)
+    assert not kept, "garbage scan unexpectedly accepted"
+    spec, hits, passes, off = eng.store.pub_map_arrays()
+    assert not hits.is_deleted() and not passes.is_deleted()
+    eng.force_graph_optimize()        # reads the snapshot; must not raise
+    eng.finish()
+
+
+def test_pipelined_pose_mirror_refreshes_after_correction(icra_log):
+    """A pose-graph correction marks the device pose mirror stale
+    (ScanStore.set_pose); the NEXT pipelined dispatch must rebuild it
+    before any chain gather reads it. A round-5 bug had install_buffers
+    clearing the stale flag while the pre-correction buffer stayed
+    installed, so every post-closure chain match stamped maps from
+    pre-correction poses."""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=True,
+                     fused_backend=True)
+    eng.pipelined_fetch = True
+    eng.pipeline_depth = 2
+    for i in range(min(len(log), 50)):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng._drain_pipeline()
+    n = len(eng.store)
+    assert n >= 5
+    # rigid-shift correction through the same path a loop closure uses
+    shift = np.array([0.3, -0.15, 0.05])
+    corrected = np.stack([
+        np.asarray(p, np.float64) + shift for p in eng.store.poses])
+    eng._apply_corrections(corrected)
+    assert eng.store._dev_poses_stale
+    # next pipelined scans must dispatch against the CORRECTED mirror
+    for i in range(50, min(len(log), 54)):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    dev = np.asarray(eng.store._dev_poses[:n])
+    np.testing.assert_allclose(dev, eng.store.poses_array()[:n].astype(
+        np.float32), atol=1e-5)
+
+
+def test_pipelined_snapshot_drain_keeps_commit_order(icra_log):
+    """Events that drain the pipeline mid-reconcile (map snapshots here)
+    must not let a younger in-flight scan commit before the current one:
+    store ids, the device append order, and graph vertex ids all key off
+    commit order. (Pre-fix, the snapshot drain ran between store.add and
+    update_graph and a nested reconcile tripped the vertex-id assert /
+    swapped device store slots.)"""
+    cfg = _small_config()
+    log = icra_log
+    eng = SlamEngine(cfg, log.laser, synchronous_backend=True,
+                     fused_backend=True)
+    eng.pipelined_fetch = True
+    eng.pipeline_depth = 3
+    snaps = []
+    eng.map_snapshot_every = 2   # force frequent mid-reconcile drains
+    eng.on_map_snapshot = lambda n, grid: snaps.append(n)
+    for i in range(min(len(log), 80)):
+        eng.process(log.ranges[i], log.odom[i], float(log.times[i]))
+    eng.finish()
+    assert snaps, "snapshot hook never fired"
+    n = len(eng.store)
+    assert eng.backend.graph.num_vertices == n
+    # host/device store slots must agree scan-for-scan
+    pts, msk, nv, poses, _cap = eng.store.device_arrays()
+    np.testing.assert_array_equal(np.asarray(pts[:n]),
+                                  np.stack(eng.store._points))
+    np.testing.assert_allclose(np.asarray(poses[:n]),
+                               eng.store.poses_array().astype(np.float32),
+                               atol=1e-6)
 
 
 def test_checkpoint_resume_under_pipeline(tmp_path, icra_log):
