@@ -991,6 +991,10 @@ class SlamEngine:
                 self.diag.scans_dropped_move += 1
             else:
                 self.diag.scans_dropped_gate += 1
+            # (rewinding _move_ref_odom to the last kept odom here was
+            # tried and measured: more dispatches, slightly FEWER kept
+            # scans and the same ATE on the full willow replay — the
+            # optimistic reference stays, docs/PERFORMANCE.md table)
             return False
         t0 = _time.perf_counter()
         self.diag.scans_processed += 1
