@@ -74,6 +74,9 @@ def save_checkpoint(engine, path: str) -> None:
         last_process_time=np.float64(
             engine._last_process_time if engine._last_process_time is not None
             else np.nan),
+        dev_time_origin=np.float64(
+            engine._dev_time_origin if engine._dev_time_origin is not None
+            else np.nan),
         diag=np.array([engine.diag.scans_in, engine.diag.scans_processed,
                        engine.diag.scans_dropped_gate,
                        engine.diag.scans_dropped_move,
@@ -123,6 +126,14 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
     if (ph, pw) != (ps.height, ps.width):
         with engine._state_lock:
             engine._grow_pub_to(pw, ph, 0, 0)
+    # device-clock origin: every time shipped to the device is relative to
+    # this (f32 cannot carry epoch stamps). Legacy checkpoints (no key)
+    # ran an absolute device clock — keep origin 0.0 for them.
+    if "dev_time_origin" in z and np.isfinite(z["dev_time_origin"]):
+        _origin = float(z["dev_time_origin"])
+    else:
+        _origin = 0.0
+    engine._dev_time_origin = _origin
     engine.state = engine.state._replace(
         pub=CountMap(jnp.asarray(z["pub_hits"]), jnp.asarray(z["pub_passes"]),
                      jnp.asarray(z["pub_offset"])),
@@ -141,12 +152,12 @@ def load_checkpoint(path: str, synchronous_backend: bool = True):
             np.where(np.isnan(z["last_kept_odom"]), 0.0, z["last_kept_odom"]),
             dtype=jnp.float32),
         last_step_time=jnp.float32(
-            z["last_process_time"]
+            z["last_process_time"] - _origin
             if np.isfinite(z["last_process_time"]) else -3.4e38),
     )
-    st._pub_arrays = (engine.fspec.pub_spec,
-                      engine.state.pub.hits, engine.state.pub.passes,
-                      engine.state.pub.offset)
+    # the engine helper copies the arrays when the async worker needs a
+    # donation-safe snapshot (raw live refs here raced use-after-donate)
+    engine._publish_pub_arrays()
     # refresh the engine's host mirror of pose/offsets (the live path
     # reads these instead of fetching device state per scan)
     engine._host_pose = np.asarray(z["state_pose"], np.float64)

@@ -777,6 +777,39 @@ def test_pipelined_snapshot_drain_keeps_commit_order(icra_log):
                                atol=1e-6)
 
 
+def test_pipelined_epoch_timestamps_keep_time_escape(icra_log):
+    """UNIX-epoch stamps (t ~ 1.76e9, f32 ulp = 128 s) must not break the
+    in-program MoveEnough clock: device times ship RELATIVE to the first
+    scan's stamp. Pre-fix, consecutive stamps quantized to the same f32
+    value, so a stationary robot's time-escape scans (kept every
+    move_time_threshold seconds) were all dropped on device."""
+    cfg = _small_config()
+    log = icra_log
+    n_pre = 20
+    n_hold = 4
+    dt = cfg.move_time_threshold + 0.5
+    kept_hold = {}
+    for off in (0.0, 1.7564e9):
+        eng = SlamEngine(cfg, log.laser, synchronous_backend=True,
+                         fused_backend=True)
+        eng.pipelined_fetch = True
+        eng.pipeline_depth = 2
+        for i in range(n_pre):
+            eng.process(log.ranges[i], log.odom[i],
+                        float(log.times[i]) + off)
+        eng._drain_pipeline()
+        before = len(eng.store)
+        # robot parks: same pose/scan, stamps spaced past the time escape
+        t0 = float(log.times[n_pre - 1]) + off
+        for k in range(1, n_hold + 1):
+            eng.process(log.ranges[n_pre - 1], log.odom[n_pre - 1],
+                        t0 + k * dt)
+        eng.finish()
+        kept_hold[off] = len(eng.store) - before
+    assert kept_hold[0.0] >= 1            # the escape fires at small t
+    assert kept_hold[1.7564e9] == kept_hold[0.0], kept_hold
+
+
 def test_checkpoint_resume_under_pipeline(tmp_path, icra_log):
     """Round 5: a checkpoint taken mid-run (the save drains the fetch
     pipeline) must resume into pipelined mode with the device move-gate
